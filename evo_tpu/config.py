@@ -1,0 +1,174 @@
+"""Model configuration schema.
+
+Mirrors the reference engine's YAML config surface so that the shipped inference
+configs (`/root/reference/evo/configs/evo-1-8k-base_inference.yml`,
+`evo-1-131k-base_inference.yml`) load unchanged.  Every key of those YAMLs is a
+field here; TPU-specific extensions live in the `mesh`/`runtime` sections and
+default to single-chip behavior.
+
+Reference contract: `stripedhyena.utils.dotdict(config_dict)` wrapping a YAML
+(`evo/models.py:141-146`).  We use a frozen dataclass instead: attribute access
+like dotdict, but typed, validated, and hashable (so it can be a static jit arg).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import yaml
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """StripedHyena architecture hyperparameters.
+
+    Field names match the reference YAML keys exactly (SURVEY.md §2.A table,
+    `evo/configs/evo-1-8k-base_inference.yml:1-38`).
+    """
+
+    vocab_size: int = 512
+    hidden_size: int = 4096
+    num_filters: int = 4096
+    max_sequence_len: int = 8192
+    attn_layer_idxs: Tuple[int, ...] = (8, 16, 24)
+    hyena_layer_idxs: Tuple[int, ...] = ()
+    num_layers: int = 32
+    short_filter_length: int = 3
+    num_attention_heads: int = 32
+    short_filter_bias: bool = True
+    eps: float = 1.0e-6
+    state_size: int = 8
+    inner_size_multiple_of: int = 16
+    smeared_gqa: bool = False
+    make_vocab_size_divisible_by: int = 8
+    log_intermediate_values: bool = False
+    proj_groups: int = 1
+    hyena_filter_groups: int = 1
+    split_k0: bool = True
+    model_parallel_size: int = 1
+    pile_parallel_size: int = 1
+    tie_embeddings: bool = True
+    inner_mlp_size: Optional[int] = None
+    mha_out_proj_bias: bool = True
+    qkv_proj_bias: bool = True
+    hyena_proj_bias: bool = True
+    hyena_out_proj_bias: bool = True
+    final_norm: bool = True
+    rng_fork: bool = False
+    use_flash_attn: bool = True
+    use_flash_rmsnorm: bool = False
+    use_flash_depthwise: bool = False
+    use_flashfft: bool = False
+    column_split: bool = True
+    inference_mode: bool = True
+    tokenizer_type: str = 'CharLevelTokenizer'
+    prefill_style: str = 'fft'
+    mlp_activation: str = 'gelu'
+    mlp_init_method: str = ''
+    mlp_output_init_method: str = ''
+    # 131k context extension (evo-1-131k-base_inference.yml:39-40)
+    use_interpolated_rotary_pos_emb: bool = False
+    rotary_emb_scaling_factor: float = 1.0
+    rotary_base: float = 10000.0
+    # --- TPU extensions (not in reference YAMLs; all default to off/auto) ---
+    # Computation dtype for matmuls/activations. Poles/residues always fp32
+    # (reference: to_bfloat16_except_poles_residues, evo/models.py:148).
+    compute_dtype: str = 'bfloat16'
+    param_dtype: str = 'bfloat16'
+    # Use Pallas kernels on TPU ('auto' = yes on TPU backend, no elsewhere).
+    use_pallas: str = 'auto'
+    # Chunk size for the modal-state prefill scan (memory/speed tradeoff).
+    state_prefill_chunk: int = 128
+
+    def __post_init__(self):
+        # tuples so the config is hashable (required for static jit args)
+        object.__setattr__(self, 'attn_layer_idxs', tuple(self.attn_layer_idxs))
+        if not self.hyena_layer_idxs:
+            object.__setattr__(
+                self, 'hyena_layer_idxs',
+                tuple(i for i in range(self.num_layers)
+                      if i not in self.attn_layer_idxs))
+        else:
+            object.__setattr__(self, 'hyena_layer_idxs',
+                               tuple(self.hyena_layer_idxs))
+        assert sorted(self.attn_layer_idxs + self.hyena_layer_idxs) == \
+            list(range(self.num_layers)), 'layer idxs must partition layers'
+        assert self.hidden_size % self.num_attention_heads == 0
+
+    # Derived quantities -----------------------------------------------------
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def padded_vocab_size(self) -> int:
+        return _round_up(self.vocab_size, self.make_vocab_size_divisible_by)
+
+    @property
+    def inner_mlp_size_actual(self) -> int:
+        """GLU inner width.
+
+        Reference auto-fill rule when `inner_mlp_size: null`
+        (evo-1-8k-base_inference.yml:25): 2/3 of the classic 4x expansion,
+        rounded up to `inner_size_multiple_of` (Megatron/LLaMA convention).
+        For hidden 4096 -> 10928. Verify against checkpoint tensor shapes at
+        conversion time (SURVEY.md §2.A).
+        """
+        if self.inner_mlp_size is not None:
+            return self.inner_mlp_size
+        return _round_up(int(2 * self.hidden_size * 4 / 3),
+                         self.inner_size_multiple_of)
+
+    def is_attn_layer(self, idx: int) -> bool:
+        return idx in self.attn_layer_idxs
+
+    @classmethod
+    def from_yaml(cls, path: str) -> 'ModelConfig':
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> 'ModelConfig':
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in known}
+        # YAML null -> None handled by dataclass default semantics
+        if kwargs.get('inner_mlp_size', 'x') is None:
+            kwargs['inner_mlp_size'] = None
+        return cls(**kwargs)
+
+    def replace(self, **kw) -> 'ModelConfig':
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**overrides) -> ModelConfig:
+    """A small CPU-runnable config with the same schema as evo-1-8k-base.
+
+    Used by the test suite and BASELINE config #1 ("tiny/CPU-runnable").
+    """
+    base = dict(
+        vocab_size=512,
+        hidden_size=64,
+        num_filters=64,
+        max_sequence_len=256,
+        attn_layer_idxs=(1,),
+        hyena_layer_idxs=(),
+        num_layers=4,
+        short_filter_length=3,
+        num_attention_heads=4,
+        state_size=4,
+        inner_size_multiple_of=16,
+        compute_dtype='float32',
+        param_dtype='float32',
+        use_pallas='never',
+        state_prefill_chunk=32,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)

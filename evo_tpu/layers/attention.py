@@ -1,0 +1,119 @@
+"""Rotary multi-head attention (the 3 of 32 layers at `attn_layer_idxs:
+[8, 16, 24]`, `evo/configs/evo-1-8k-base_inference.yml:5`).
+
+Reference: flash_attn MHA with rotary, qkv_proj_bias / mha_out_proj_bias True
+(config:26-27), 32 heads x head_dim 128, causal. Here: fused QKV projection,
+NeoX rotary (with linear interpolation for 131k), causal SDPA with float32
+softmax. The Pallas flash-attention kernel (evo_tpu.ops.pallas_attention)
+replaces the naive core on TPU behind `sdpa_causal`'s dispatch.
+
+KV cache protocol (mirrors reference `inference_params_dict['mha']`,
+`evo/generation.py:105-148`): preallocated (B, T_max, H, Dh) key/value
+buffers written at `offset`; decode attends over the full buffer with a
+position mask so shapes stay static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.config import ModelConfig
+from evo_tpu.layers.rotary import apply_rotary, rotary_cos_sin
+
+
+def _qkv(p, cfg: ModelConfig, x):
+    B, L, D = x.shape
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    qkv = x @ p['wqkv'].astype(x.dtype)
+    if 'bqkv' in p:
+        qkv = qkv + p['bqkv'].astype(x.dtype)
+    qkv = qkv.reshape(B, L, 3, H, Dh)
+    return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+
+def _rotate(cfg: ModelConfig, q, k, offset):
+    L = q.shape[1]
+    positions = jnp.arange(L, dtype=jnp.int32) + offset
+    scaling = (cfg.rotary_emb_scaling_factor
+               if cfg.use_interpolated_rotary_pos_emb else 1.0)
+    cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rotary_base,
+                              scaling)
+    return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin)
+
+
+def sdpa_causal(q, k, v, *, use_pallas: bool = False):
+    """Causal self-attention. q,k,v: (B, L, H, Dh). float32 softmax."""
+    if use_pallas:
+        from evo_tpu.ops.pallas_attention import flash_attention_causal
+        return flash_attention_causal(q, k, v)
+    B, L, H, Dh = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+    s = jnp.einsum('blhd,bmhd->bhlm', q.astype(jnp.float32),
+                   k.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    mask = jnp.tril(jnp.ones((L, L), dtype=bool))
+    s = jnp.where(mask[None, None], s, -jnp.inf)
+    a = jax.nn.softmax(s, axis=-1)
+    y = jnp.einsum('bhlm,bmhd->blhd', a, v.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return y.astype(q.dtype)
+
+
+def _out(p, x_dtype, y):
+    B, L, H, Dh = y.shape
+    o = y.reshape(B, L, H * Dh) @ p['wo'].astype(x_dtype)
+    if 'bo' in p:
+        o = o + p['bo'].astype(x_dtype)
+    return o
+
+
+def mha_full(p, cfg: ModelConfig, x, *, offset=0,
+             kv_buffers: Optional[Tuple[jax.Array, jax.Array]] = None,
+             use_pallas: bool = False):
+    """Full-sequence causal attention (prefill / scoring path).
+
+    Returns (y, kv_buffers') where kv_buffers' has k/v written at
+    [offset, offset+L) when buffers were provided (else None).
+    """
+    q, k, v = _qkv(p, cfg, x)
+    q, k = _rotate(cfg, q, k, offset)
+    y = sdpa_causal(q, k, v, use_pallas=use_pallas)
+    new_buffers = None
+    if kv_buffers is not None:
+        k_buf, v_buf = kv_buffers
+        k_buf = jax.lax.dynamic_update_slice(
+            k_buf, k.astype(k_buf.dtype), (0, offset, 0, 0))
+        v_buf = jax.lax.dynamic_update_slice(
+            v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
+        new_buffers = (k_buf, v_buf)
+    return _out(p, x.dtype, y), new_buffers
+
+
+def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
+    """Single-token decode step.
+
+    x_t: (B, 1, D); kv_buffers: ((B, T, H, Dh), ...); offset: tokens already
+    in the cache. Attends over positions [0, offset] with a static-shape mask.
+    """
+    k_buf, v_buf = kv_buffers
+    B, T, H, Dh = k_buf.shape
+    q, k, v = _qkv(p, cfg, x_t)
+    q, k = _rotate(cfg, q, k, offset)
+    k_buf = jax.lax.dynamic_update_slice(
+        k_buf, k.astype(k_buf.dtype), (0, offset, 0, 0))
+    v_buf = jax.lax.dynamic_update_slice(
+        v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
+    scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+    s = jnp.einsum('bhd,bmhd->bhm', q[:, 0].astype(jnp.float32),
+                   k_buf.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    valid = jnp.arange(T) <= offset
+    s = jnp.where(valid[None, None], s, -jnp.inf)
+    a = jax.nn.softmax(s, axis=-1)
+    y = jnp.einsum('bhm,bmhd->bhd', a, v_buf.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    y = y.astype(x_t.dtype)[:, None]  # (B, 1, H, Dh)
+    return _out(p, x_t.dtype, y), (k_buf, v_buf)

@@ -1,0 +1,97 @@
+"""Hyena gated long-convolution mixer (29 of 32 layers).
+
+Block anatomy (SURVEY.md §2.A "[inferred] Block anatomy", validated against
+the config schema and cache structure of `evo/generation.py:105-148`):
+
+    z = in_proj(x)                      # (B, L, 3D) dense
+    z = short_fir(z)                    # depthwise causal FIR, length 3
+    x2, x1, v = split(z)                # three (B, L, D) streams
+    u = x1 * v                          # pre-gate
+    y = longconv(u) + D_skip * u        # implicit modal filter (FFT / recurrence)
+    y = x2 * y                          # post-gate
+    out = out_proj(y)
+
+Channel dimension is embarrassingly parallel across the long conv — under TP
+each chip owns hidden_size/tp channels and runs full-length FFTs locally
+(SURVEY.md §5 long-context plan).
+
+Decode state (mirrors reference `inference_params_dict['hyena']`):
+  fir:  (B, 3D, K-1) trailing pre-FIR inputs
+  iir:  (B, D, S, 2) float32 modal state
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from evo_tpu.config import ModelConfig
+from evo_tpu.ops import fftconv
+
+
+class HyenaState(NamedTuple):
+    fir: jax.Array   # (B, 3D, K-1)
+    iir: jax.Array   # (B, D, S, 2) float32
+
+
+def _in_proj(p, x):
+    z = x @ p['w_in'].astype(x.dtype)
+    if 'b_in' in p:
+        z = z + p['b_in'].astype(x.dtype)
+    return z
+
+
+def _out_proj(p, y):
+    o = y @ p['w_out'].astype(y.dtype)
+    if 'b_out' in p:
+        o = o + p['b_out'].astype(y.dtype)
+    return o
+
+
+def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
+               state: Optional[HyenaState] = None):
+    """Full-sequence forward (prefill / scoring).
+
+    x: (B, L, D). Returns (y, HyenaState | None). When `state` is given its
+    fir/iir contents seed the convolution (segment continuation); state
+    collection computes the post-sequence fir/iir state for decode handoff.
+    """
+    B, L, D = x.shape
+    z = _in_proj(p, x)                          # (B, L, 3D)
+    z = jnp.swapaxes(z, 1, 2)                   # (B, 3D, L)
+    fir_in_state = state.fir if state is not None else None
+    z, fir_state = fftconv.fir_causal_conv(
+        z, p['fir_w'], p.get('fir_b'), fir_in_state)
+    x2, x1, v = jnp.split(z, 3, axis=1)         # (B, D, L) each
+    u = x1 * v
+    if state is not None:
+        raise NotImplementedError(
+            'segment-continued long conv lands with chunked prefill')
+    h = fftconv.materialize_filter(p['poles'], p['residues'], L)
+    y = fftconv.fft_causal_conv(u, h) + \
+        p['d_skip'].astype(jnp.float32)[None, :, None] * u.astype(jnp.float32)
+    y = x2 * y.astype(x.dtype)
+    out = _out_proj(p, jnp.swapaxes(y, 1, 2))
+    new_state = None
+    if collect_state:
+        iir = fftconv.modal_prefill_state(u, p['poles'],
+                                          cfg.state_prefill_chunk)
+        new_state = HyenaState(fir=fir_state, iir=iir)
+    return out, new_state
+
+
+def hyena_step(p, cfg: ModelConfig, x_t, state: HyenaState):
+    """Single-token decode step. x_t: (B, 1, D)."""
+    z_t = _in_proj(p, x_t)[:, 0]                      # (B, 3D)
+    z_t, fir_state = fftconv.fir_step(z_t, p['fir_w'], p.get('fir_b'),
+                                      state.fir)
+    D = cfg.hidden_size
+    x2, x1, v = z_t[:, :D], z_t[:, D:2 * D], z_t[:, 2 * D:]
+    u = x1 * v                                         # (B, D)
+    y, iir = fftconv.modal_step(u, p['poles'], p['residues'], p['d_skip'],
+                                state.iir)
+    y = x2 * y.astype(x_t.dtype)
+    out = _out_proj(p, y[:, None])                    # (B, 1, D)
+    return out, HyenaState(fir=fir_state, iir=iir)

@@ -1,0 +1,166 @@
+"""Model registry and engine facade.
+
+Parity with reference `evo/models.py` (registry of 5 checkpoints, config
+selection, checkpoint load) plus the engine-call contract the application
+layer depends on (SURVEY.md §2.A call-site table):
+
+    model(input_ids)                         -> (logits, None)
+    model(x, inference_params_dict=cache)    -> (logits, cache')
+    model.initialize_inference_params(...)   -> cache pytree
+
+`EvoModel` replaces `stripedhyena.model.StripedHyena`: a thin stateful facade
+over the pure functions in evo_tpu.model, owning per-shape jit caches and
+(optionally) a device mesh for sharded execution.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu import model as model_lib
+from evo_tpu.config import ModelConfig
+from evo_tpu.tokenizer import CharLevelTokenizer
+
+MODEL_NAMES = [
+    'evo-1.5-8k-base',
+    'evo-1-8k-base',
+    'evo-1-131k-base',
+    'evo-1-8k-crispr',
+    'evo-1-8k-transposon',
+]
+
+# HF repos (reference `evo/models.py:65-71`); used by the converter when a
+# local snapshot path is supplied (this build environment has no network).
+HF_MODEL_NAME_MAP = {
+    'evo-1.5-8k-base': 'evo-design/evo-1.5-8k-base',
+    'evo-1-8k-base': 'evo-design/evo-1-8k-base',
+    'evo-1-131k-base': 'evo-design/evo-1-131k-base',
+    'evo-1-8k-crispr': 'evo-design/evo-1-8k-crispr',
+    'evo-1-8k-transposon': 'evo-design/evo-1-8k-transposon',
+}
+
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), 'configs')
+
+
+def config_for_model(model_name: str) -> ModelConfig:
+    """8k config for all 8k variants, 131k config for 131k
+    (reference `evo/models.py:39-45`)."""
+    if model_name not in MODEL_NAMES:
+        raise ValueError(
+            f'Invalid model name {model_name}. Options: {MODEL_NAMES}')
+    yml = ('evo-1-131k-base_inference.yml' if '131k' in model_name
+           else 'evo-1-8k-base_inference.yml')
+    return ModelConfig.from_yaml(os.path.join(_CONFIG_DIR, yml))
+
+
+class EvoModel:
+    """Engine facade: params + config + jit caches (+ sharding, phase 4)."""
+
+    def __init__(self, config: ModelConfig, params, mesh=None):
+        self.config = config
+        self.params = params
+        self.mesh = mesh
+        self._fwd = jax.jit(
+            functools.partial(_forward_cfg, cfg=config))
+        self._prefill = jax.jit(
+            functools.partial(_prefill_cfg, cfg=config))
+        self._step = jax.jit(
+            functools.partial(_step_cfg, cfg=config),
+            donate_argnums=(2,))
+
+    # -- engine call contract ------------------------------------------------
+
+    def __call__(self, input_ids, inference_params_dict=None):
+        ids = jnp.asarray(np.asarray(input_ids), dtype=jnp.int32)
+        if ids.ndim == 1:
+            ids = ids[None]
+        if inference_params_dict is None:
+            return self._fwd(self.params, ids), None
+        if ids.shape[1] == 1:
+            logits, cache = self._step(self.params, ids[:, 0],
+                                       inference_params_dict)
+            return logits[:, None], cache
+        return self._prefill(self.params, ids, inference_params_dict)
+
+    def initialize_inference_params(self, batch_size: int, max_len: int):
+        return model_lib.init_cache(self.config, batch_size, max_len)
+
+    # -- introspection -------------------------------------------------------
+
+    @property
+    def num_params(self) -> int:
+        return model_lib.param_count(self.params)
+
+    def forward_fn(self):
+        """The raw jittable (params, ids) -> logits function."""
+        return functools.partial(_forward_cfg, cfg=self.config)
+
+
+def _forward_cfg(params, ids, *, cfg):
+    return model_lib.forward(params, cfg, ids)
+
+
+def _prefill_cfg(params, ids, cache, *, cfg):
+    return model_lib.prefill(params, cfg, ids, cache)
+
+
+def _step_cfg(params, token, cache, *, cfg):
+    return model_lib.decode_step(params, cfg, token, cache)
+
+
+def load_checkpoint(
+    model_name: str = 'evo-1-8k-base',
+    checkpoint_path: Optional[str] = None,
+    random_init: bool = False,
+    seed: int = 0,
+    config_overrides: Optional[Dict[str, Any]] = None,
+    mesh=None,
+) -> Tuple[EvoModel, ModelConfig]:
+    """Build an EvoModel.
+
+    checkpoint_path: local path to either a converted native checkpoint
+    directory (evo_tpu format) or an HF safetensors snapshot (the reference's
+    storage format, `evo/models.py:103-120`) which is converted on the fly.
+    random_init: random weights of the right schema (testing / benchmarking).
+    """
+    config = config_for_model(model_name)
+    if config_overrides:
+        config = config.replace(**config_overrides)
+    if random_init:
+        params = model_lib.init_params(jax.random.PRNGKey(seed), config)
+    elif checkpoint_path is not None:
+        from evo_tpu.checkpoint import load_params_auto
+        params = load_params_auto(checkpoint_path, config, mesh=mesh)
+    else:
+        raise ValueError(
+            'No checkpoint source: pass checkpoint_path= (local HF '
+            'safetensors snapshot or converted evo_tpu checkpoint) or '
+            'random_init=True. This environment has no network access, so '
+            'automatic HF download is not available.')
+    return EvoModel(config, params, mesh=mesh), config
+
+
+class Evo:
+    """Top-level convenience class (reference `evo/models.py:21-62`):
+    validates the model name and yields (model, tokenizer)."""
+
+    def __init__(self, model_name: str = 'evo-1-8k-base',
+                 checkpoint_path: Optional[str] = None,
+                 random_init: bool = False,
+                 seed: int = 0,
+                 config_overrides: Optional[Dict[str, Any]] = None,
+                 mesh=None):
+        if model_name not in MODEL_NAMES:
+            raise ValueError(
+                f'Invalid model name {model_name}. Options: {MODEL_NAMES}')
+        self.model, self.config = load_checkpoint(
+            model_name, checkpoint_path=checkpoint_path,
+            random_init=random_init, seed=seed,
+            config_overrides=config_overrides, mesh=mesh)
+        self.tokenizer = CharLevelTokenizer(512)

@@ -1,0 +1,214 @@
+"""Hyena long-convolution primitives.
+
+The reference engine evaluates the Hyena implicit long filter two ways
+(SURVEY.md §2.A: `prefill_style: fft`, `state_size: 8`):
+
+  * prefill: causal convolution of the full sequence with the materialized
+    filter, via FFT (reference: cuFFT through torch.fft; here: XLA TPU FFT,
+    with a Pallas blockwise path layered on later);
+  * decode: an O(1)-state linear recurrence in the filter's modal
+    (diagonal/canonical) form — `state_size` complex modes per channel.
+
+Parametrization (canonical form owned by this framework; the checkpoint
+converter maps the reference's stored `poles`/`residues` tensors into it):
+
+  filter    h[d, t] = Re( sum_s R[d,s] * p[d,s]^t ),  t = 0..L-1
+  output    y[d, t] = sum_{tau<=t} h[d, t-tau] * u[d, tau] + D[d] * u[d, t]
+  state     s[d,k](t) = p[d,k] * s[d,k](t-1) + u[d, t]       (complex)
+            y[d, t]  = Re( sum_k R[d,k] * s[d,k](t) ) + D[d] * u[d, t]
+
+Poles/residues stay float32 (reference precision policy:
+`to_bfloat16_except_poles_residues`, `evo/models.py:148`); they are stored as
+real/imag pairs in the trailing axis: shape (channels, state_size, 2).
+
+All functions are pure and jit/grad/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MIN_MAG = 1e-20
+
+
+def _pole_log(poles: jax.Array):
+    """Return (log|p|, arg p) as float32 arrays of shape (D, S)."""
+    pr, pi = poles[..., 0], poles[..., 1]
+    mag = jnp.sqrt(pr * pr + pi * pi)
+    logmag = jnp.log(jnp.maximum(mag, _MIN_MAG))
+    theta = jnp.arctan2(pi, pr)
+    return logmag, theta
+
+
+def materialize_filter(poles: jax.Array, residues: jax.Array,
+                       length: int) -> jax.Array:
+    """Materialize h[d, t] = Re(sum_s R p^t) for t in [0, length).
+
+    poles, residues: (D, S, 2) float32. Returns (D, length) float32.
+
+    Computed per-mode in real arithmetic (|R||p|^t cos(t*theta + phi)) to keep
+    peak memory at one (D, L) buffer per mode instead of a (D, S, L) complex
+    tensor; XLA fuses the elementwise chain.
+    """
+    D, S, _ = poles.shape
+    logmag, theta = _pole_log(poles.astype(jnp.float32))
+    rr, ri = residues[..., 0], residues[..., 1]
+    rmag = jnp.sqrt(rr * rr + ri * ri)
+    rphase = jnp.arctan2(ri, rr)
+    t = jnp.arange(length, dtype=jnp.float32)[None, :]  # (1, L)
+    h = jnp.zeros((D, length), dtype=jnp.float32)
+    for s in range(S):
+        # Re(R p^t) = |R| |p|^t cos(t*theta + phase)
+        h = h + rmag[:, s:s + 1] * jnp.exp(t * logmag[:, s:s + 1]) * \
+            jnp.cos(t * theta[:, s:s + 1] + rphase[:, s:s + 1])
+    return h
+
+
+def fft_causal_conv(u: jax.Array, h: jax.Array) -> jax.Array:
+    """Causal convolution along the last axis via real FFT.
+
+    u: (..., D, L) any float dtype; h: (D, L) float32.
+    Returns (..., D, L) float32:  y[.., d, t] = sum_{tau<=t} h[d,t-tau] u[..,d,tau]
+
+    FFT length is the next power of two >= 2L (linear, not circular, conv);
+    computation in float32 regardless of input dtype (parity requirement,
+    SURVEY.md §7 hard part #2).
+    """
+    L = u.shape[-1]
+    fft_len = max(2, int(2 ** np.ceil(np.log2(2 * L))))
+    u_f = jnp.fft.rfft(u.astype(jnp.float32), n=fft_len, axis=-1)
+    h_f = jnp.fft.rfft(h.astype(jnp.float32), n=fft_len, axis=-1)
+    y = jnp.fft.irfft(u_f * h_f, n=fft_len, axis=-1)[..., :L]
+    return y
+
+
+def direct_causal_conv(u: jax.Array, h: jax.Array) -> jax.Array:
+    """O(L^2) reference oracle for tests: same contract as fft_causal_conv."""
+    L = u.shape[-1]
+    u32 = u.astype(jnp.float32)
+    h32 = h.astype(jnp.float32)
+    # y[t] = sum_k h[k] u[t-k]
+    cols = []
+    for t in range(L):
+        k = jnp.arange(t + 1)
+        cols.append(jnp.sum(h32[..., k[::-1]] * u32[..., :t + 1], axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
+def fir_causal_conv(z: jax.Array, w: jax.Array, b: jax.Array | None,
+                    state: jax.Array | None = None):
+    """Depthwise causal FIR (short filter, length `K`, reference K=3).
+
+    z: (B, C, L); w: (C, K) taps ordered [oldest .. newest] so that
+        y[c, t] = sum_j w[c, j] * z[c, t - (K-1-j)]  (+ b[c])
+    state: (B, C, K-1) trailing inputs from a previous segment (None = zeros,
+        i.e. left zero-padding).
+
+    Returns (y, new_state) with y: (B, C, L) in z.dtype and new_state the last
+    K-1 inputs of the concatenated stream.
+    """
+    B, C, L = z.shape
+    K = w.shape[-1]
+    if state is None:
+        state = jnp.zeros((B, C, K - 1), dtype=z.dtype)
+    zc = jnp.concatenate([state.astype(z.dtype), z], axis=-1)  # (B, C, L+K-1)
+    y = jnp.zeros((B, C, L), dtype=jnp.float32)
+    for j in range(K):
+        y = y + w[:, j].astype(jnp.float32)[None, :, None] * \
+            zc[..., j:j + L].astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, :, None]
+    new_state = zc[..., L:]
+    return y.astype(z.dtype), new_state
+
+
+def fir_step(z_t: jax.Array, w: jax.Array, b: jax.Array | None,
+             state: jax.Array):
+    """Single-token FIR step. z_t: (B, C); state: (B, C, K-1)."""
+    K = w.shape[-1]
+    zc = jnp.concatenate([state, z_t[..., None]], axis=-1)  # (B, C, K)
+    y = jnp.sum(zc.astype(jnp.float32) * w.astype(jnp.float32)[None], axis=-1)
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, :]
+    return y.astype(z_t.dtype), zc[..., 1:]
+
+
+def modal_state_init(batch: int, channels: int, state_size: int) -> jax.Array:
+    """Zero modal state, stored as (B, D, S, 2) float32 (real, imag)."""
+    return jnp.zeros((batch, channels, state_size, 2), dtype=jnp.float32)
+
+
+def modal_step(u_t: jax.Array, poles: jax.Array, residues: jax.Array,
+               d_skip: jax.Array, state: jax.Array):
+    """One decode step of the modal recurrence.
+
+    u_t: (B, D) input sample; state: (B, D, S, 2) float32.
+    Returns (y_t (B, D) float32, new_state).
+    """
+    pr, pi = poles[..., 0], poles[..., 1]          # (D, S)
+    sr, si = state[..., 0], state[..., 1]          # (B, D, S)
+    u32 = u_t.astype(jnp.float32)
+    # s' = p * s + u
+    nsr = pr[None] * sr - pi[None] * si + u32[..., None]
+    nsi = pi[None] * sr + pr[None] * si
+    rr, ri = residues[..., 0], residues[..., 1]
+    # y = Re(sum_s R * s') + D * u
+    y = jnp.sum(rr[None] * nsr - ri[None] * nsi, axis=-1) + \
+        d_skip.astype(jnp.float32)[None] * u32
+    return y, jnp.stack([nsr, nsi], axis=-1)
+
+
+def modal_prefill_state(u: jax.Array, poles: jax.Array,
+                        chunk: int = 128) -> jax.Array:
+    """Modal state after consuming u[..., 0:L] (so decode can continue at L).
+
+    u: (B, D, L); poles: (D, S, 2) float32. Returns (B, D, S, 2) float32 with
+      s[d,k] = sum_{tau=0}^{L-1} p[d,k]^(L-1-tau) * u[d, tau]
+
+    Evaluated as a chunked scan: per chunk of C samples,
+      s <- p^C * s + sum_j p^(C-1-j) u_j
+    which streams (B, D, C)x(D, S, C) contractions onto the MXU and keeps the
+    pole-power tables at (D, S, C) instead of (D, S, L).
+    """
+    B, D, L = u.shape
+    S = poles.shape[1]
+    C = min(chunk, L)
+    pad = (-L) % C
+    if pad:
+        # left-pad with zeros: prepending zeros doesn't change the state
+        u = jnp.concatenate(
+            [jnp.zeros((B, D, pad), dtype=u.dtype), u], axis=-1)
+        L = L + pad
+    K = L // C
+
+    logmag, theta = _pole_log(poles.astype(jnp.float32))
+    # p^(C-1-j) for j in [0, C) -> exponent e = C-1-j in [C-1 .. 0]
+    e = jnp.arange(C - 1, -1, -1, dtype=jnp.float32)[None, None, :]  # (1,1,C)
+    pw_mag = jnp.exp(e * logmag[..., None])            # (D, S, C)
+    pw_r = pw_mag * jnp.cos(e * theta[..., None])
+    pw_i = pw_mag * jnp.sin(e * theta[..., None])
+    # p^C
+    pc_mag = jnp.exp(C * logmag)
+    pc_r = pc_mag * jnp.cos(C * theta)                 # (D, S)
+    pc_i = pc_mag * jnp.sin(C * theta)
+
+    u32 = u.astype(jnp.float32).reshape(B, D, K, C)
+
+    def body(carry, uc):
+        sr, si = carry                                  # (B, D, S)
+        # uc: (B, D, C)
+        inj_r = jnp.einsum('bdc,dsc->bds', uc, pw_r,
+                           preferred_element_type=jnp.float32)
+        inj_i = jnp.einsum('bdc,dsc->bds', uc, pw_i,
+                           preferred_element_type=jnp.float32)
+        nsr = pc_r[None] * sr - pc_i[None] * si + inj_r
+        nsi = pc_i[None] * sr + pc_r[None] * si + inj_i
+        return (nsr, nsi), None
+
+    init = (jnp.zeros((B, D, S), jnp.float32), jnp.zeros((B, D, S),
+                                                         jnp.float32))
+    (sr, si), _ = jax.lax.scan(body, init,
+                               jnp.moveaxis(u32, 2, 0))  # scan over K chunks
+    return jnp.stack([sr, si], axis=-1)

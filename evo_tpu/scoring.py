@@ -1,0 +1,126 @@
+"""Batched log-likelihood scoring.
+
+API parity with reference `evo/scoring.py` (`prepare_batch`,
+`logits_to_logprobs`, `score_sequences`, `positional_entropies`) with the
+same numerics: right-padding with pad_id and NO attention/loss mask inside
+the model — padding correctness comes only from slicing outputs to the true
+sequence lengths afterwards (`evo/scoring.py:22-31, 93-96`; SURVEY.md §7
+hard part #6).
+
+TPU addition: optional shape bucketing (`pad_to_bucket`) pads batch length up
+to a power of two. Because every mixer is causal, right-padding never changes
+logits at earlier positions, so bucketing is output-invariant while keeping
+the number of distinct jit specializations logarithmic.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu.tokenizer import CharLevelTokenizer
+
+
+def next_bucket(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def prepare_batch(
+    seqs: Sequence[str],
+    tokenizer: CharLevelTokenizer,
+    prepend_bos: bool = True,
+    pad_to_bucket: bool = False,
+) -> Tuple[np.ndarray, List[int]]:
+    """Tokenize, optionally prepend BOS (= eod id 0), right-pad with pad_id.
+
+    Returns (input_ids (B, L) int32, seq_lengths). Unlike the reference this
+    returns a host numpy array; device placement belongs to the caller.
+    """
+    seq_lengths = [len(s) for s in seqs]
+    max_len = max(seq_lengths) + int(prepend_bos)
+    if pad_to_bucket:
+        max_len = next_bucket(max_len)
+    batch = np.full((len(seqs), max_len), tokenizer.pad_id, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        toks = tokenizer.tokenize(s)
+        off = int(prepend_bos)
+        if off:
+            batch[i, 0] = tokenizer.eod_id
+        batch[i, off:off + len(toks)] = toks
+    return batch, seq_lengths
+
+
+def logits_to_logprobs(logits, input_ids, trim_bos: bool = True):
+    """Per-position log-likelihood of `input_ids` under `logits`.
+
+    logits: (B, L, V); input_ids: (B, L). Returns (B, L-1) when trim_bos
+    (drop last prediction, drop first input id) else (B, L). log_softmax in
+    float32 (reference computes it in model dtype then casts; fp32 here is
+    within the 1e-3 budget and strictly more accurate).
+    """
+    logprobs = jnp.astype(logits, jnp.float32)
+    logprobs = logprobs - jnp.max(logprobs, axis=-1, keepdims=True)
+    logprobs = logprobs - jnp.log(
+        jnp.sum(jnp.exp(logprobs), axis=-1, keepdims=True))
+    if trim_bos:
+        logprobs = logprobs[:, :-1]
+        input_ids = input_ids[:, 1:]
+    assert logprobs.shape[1] == input_ids.shape[1]
+    return jnp.take_along_axis(
+        logprobs, jnp.asarray(input_ids)[..., None], axis=-1)[..., 0]
+
+
+def score_sequences(
+    seqs: Sequence[str],
+    model,
+    tokenizer: CharLevelTokenizer,
+    reduce_method: str = 'mean',
+    prepend_bos: bool = True,
+    pad_to_bucket: bool = False,
+) -> List[float]:
+    """Reference-parity scoring (`evo/scoring.py:62-96`).
+
+    `model` is anything implementing the engine call contract
+    `model(input_ids) -> (logits, cache_or_None)` (see evo_tpu.models.EvoModel).
+    """
+    if reduce_method == 'mean':
+        reduce_func = np.mean
+    elif reduce_method == 'sum':
+        reduce_func = np.sum
+    else:
+        raise ValueError(f'Invalid reduce_method {reduce_method}')
+    input_ids, seq_lengths = prepare_batch(
+        seqs, tokenizer, prepend_bos=prepend_bos, pad_to_bucket=pad_to_bucket)
+    logits, _ = model(input_ids)
+    logprobs = np.asarray(
+        logits_to_logprobs(logits, input_ids, trim_bos=prepend_bos),
+        dtype=np.float32)
+    return [float(reduce_func(logprobs[i][:seq_lengths[i]]))
+            for i in range(len(seq_lengths))]
+
+
+def positional_entropies(
+    seqs: Sequence[str],
+    model,
+    tokenizer: CharLevelTokenizer,
+    prepend_bos: bool = True,
+) -> List[np.ndarray]:
+    """Per-position Shannon entropy of the predictive distribution
+    (`evo/scoring.py:99-131`), trimmed to each true sequence length."""
+    input_ids, seq_lengths = prepare_batch(seqs, tokenizer,
+                                           prepend_bos=prepend_bos)
+    logits, _ = model(input_ids)
+    logp = jnp.astype(logits, jnp.float32)
+    logp = logp - jnp.max(logp, axis=-1, keepdims=True)
+    logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
+    if prepend_bos:
+        logp = logp[:, :-1]
+    ent = np.asarray(-jnp.sum(jnp.exp(logp) * logp, axis=-1))
+    out = [ent[i][:seq_lengths[i]] for i in range(len(seq_lengths))]
+    assert all(len(s) == len(e) for s, e in zip(seqs, out))
+    return out

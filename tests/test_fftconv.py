@@ -1,0 +1,114 @@
+"""Unit tests for the Hyena long-conv primitives: FFT conv vs direct-conv
+oracle, modal recurrence vs convolution with the materialized filter, and
+chunked prefill-state vs step-by-step state (SURVEY.md §4 prescription #1,
+§7 hard part #1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evo_tpu.ops import fftconv
+
+
+def _random_modal(rng, D=8, S=4):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    mag = jax.random.uniform(k1, (D, S), jnp.float32, 0.5, 0.98)
+    ang = jax.random.uniform(k2, (D, S), jnp.float32, -3.1, 3.1)
+    poles = jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)], axis=-1)
+    residues = jax.random.normal(k3, (D, S, 2), jnp.float32) / S
+    return poles, residues
+
+
+def test_fft_conv_matches_direct():
+    rng = jax.random.PRNGKey(0)
+    u = jax.random.normal(rng, (2, 8, 37), jnp.float32)
+    h = jax.random.normal(jax.random.PRNGKey(1), (8, 37), jnp.float32)
+    got = fftconv.fft_causal_conv(u, h)
+    want = fftconv.direct_causal_conv(u, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_materialized_filter_first_taps():
+    poles, residues = _random_modal(jax.random.PRNGKey(2))
+    h = fftconv.materialize_filter(poles, residues, 16)
+    p = poles[..., 0] + 1j * poles[..., 1]
+    r = residues[..., 0] + 1j * residues[..., 1]
+    for t in [0, 1, 5, 15]:
+        want = np.real(np.sum(np.asarray(r) * np.asarray(p) ** t, axis=-1))
+        np.testing.assert_allclose(np.asarray(h[:, t]), want, rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_modal_recurrence_matches_convolution():
+    """Step-by-step modal recurrence == causal conv with materialized h."""
+    D, S, L, B = 8, 4, 24, 2
+    poles, residues = _random_modal(jax.random.PRNGKey(3), D, S)
+    d_skip = jax.random.normal(jax.random.PRNGKey(4), (D,), jnp.float32)
+    u = jax.random.normal(jax.random.PRNGKey(5), (B, D, L), jnp.float32)
+
+    h = fftconv.materialize_filter(poles, residues, L)
+    want = fftconv.fft_causal_conv(u, h) + d_skip[None, :, None] * u
+
+    state = fftconv.modal_state_init(B, D, S)
+    got = []
+    for t in range(L):
+        y, state = fftconv.modal_step(u[..., t], poles, residues, d_skip,
+                                      state)
+        got.append(y)
+    got = jnp.stack(got, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize('L,chunk', [(24, 8), (37, 16), (16, 16), (5, 8)])
+def test_prefill_state_matches_stepwise(L, chunk):
+    """Chunked-scan prefill state == state after L sequential modal steps."""
+    D, S, B = 8, 4, 2
+    poles, residues = _random_modal(jax.random.PRNGKey(6), D, S)
+    d_skip = jnp.zeros((D,), jnp.float32)
+    u = jax.random.normal(jax.random.PRNGKey(7), (B, D, L), jnp.float32)
+
+    state = fftconv.modal_state_init(B, D, S)
+    for t in range(L):
+        _, state = fftconv.modal_step(u[..., t], poles, residues, d_skip,
+                                      state)
+    got = fftconv.modal_prefill_state(u, poles, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(state),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fir_conv_and_step_agree():
+    B, C, L, K = 2, 6, 19, 3
+    rng = jax.random.PRNGKey(8)
+    z = jax.random.normal(rng, (B, C, L), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(9), (C, K), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(10), (C,), jnp.float32)
+
+    y_full, state_full = fftconv.fir_causal_conv(z, w, b)
+
+    state = jnp.zeros((B, C, K - 1), jnp.float32)
+    ys = []
+    for t in range(L):
+        y_t, state = fftconv.fir_step(z[..., t], w, b, state)
+        ys.append(y_t)
+    y_steps = jnp.stack(ys, axis=-1)
+    np.testing.assert_allclose(np.asarray(y_steps), np.asarray(y_full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state), np.asarray(state_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fir_conv_segment_continuation():
+    """Splitting a sequence into two fir_causal_conv calls with carried
+    state equals one full call."""
+    B, C, L, K = 1, 4, 20, 3
+    z = jax.random.normal(jax.random.PRNGKey(11), (B, C, L), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(12), (C, K), jnp.float32)
+    y_full, _ = fftconv.fir_causal_conv(z, w, None)
+    y1, s1 = fftconv.fir_causal_conv(z[..., :7], w, None)
+    y2, _ = fftconv.fir_causal_conv(z[..., 7:], w, None, state=s1)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y1, y2], axis=-1)), np.asarray(y_full),
+        rtol=1e-5, atol=1e-5)

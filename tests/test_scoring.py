@@ -1,0 +1,97 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from evo_tpu import model as model_lib
+from evo_tpu.config import tiny_config
+from evo_tpu.io.fasta import read_fasta
+from evo_tpu.models import EvoModel
+from evo_tpu.scoring import (logits_to_logprobs, positional_entropies,
+                             prepare_batch, score_sequences)
+from evo_tpu.tokenizer import CharLevelTokenizer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLE_FASTA = os.path.join(REPO, 'examples', 'example_seqs.fasta')
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = tiny_config()
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    return EvoModel(cfg, params), CharLevelTokenizer(512)
+
+
+def test_prepare_batch_padding():
+    tok = CharLevelTokenizer(512)
+    ids, lengths = prepare_batch(['ACGT', 'AC'], tok, prepend_bos=True)
+    assert lengths == [4, 2]
+    assert ids.shape == (2, 5)
+    assert ids[0, 0] == 0 and ids[1, 0] == 0          # BOS = eod = 0
+    assert list(ids[1, 3:]) == [1, 1]                  # right pad = 1
+
+
+def test_prepare_batch_no_bos():
+    tok = CharLevelTokenizer(512)
+    ids, _ = prepare_batch(['ACGT'], tok, prepend_bos=False)
+    assert ids.shape == (1, 4)
+    assert list(ids[0]) == [65, 67, 71, 84]
+
+
+def test_logits_to_logprobs_shapes(setup):
+    model, tok = setup
+    ids, _ = prepare_batch(['ACGT', 'CAGATTCCATT'], tok)
+    logits, _ = model(ids)
+    lp = logits_to_logprobs(logits, ids, trim_bos=True)
+    assert lp.shape == (2, ids.shape[1] - 1)
+    assert np.all(np.asarray(lp) <= 0)
+
+
+def test_score_sequences_on_example_fasta(setup):
+    """BASELINE config #1 anchor: score examples/example_seqs.fasta on the
+    tiny CPU-runnable config."""
+    model, tok = setup
+    names, seqs = read_fasta(EXAMPLE_FASTA)
+    assert names == ['seq0', 'seq1', 'seq2']
+    scores = score_sequences(seqs, model, tok)
+    assert len(scores) == 3
+    assert all(np.isfinite(s) and s < 0 for s in scores)
+    sums = score_sequences(seqs, model, tok, reduce_method='sum')
+    for s_mean, s_sum, seq in zip(scores, sums, seqs):
+        np.testing.assert_allclose(s_sum, s_mean * len(seq), rtol=1e-5)
+
+
+def test_bucketing_invariance(setup):
+    """pad_to_bucket must not change scores (causal right-pad invariance)."""
+    model, tok = setup
+    _, seqs = read_fasta(EXAMPLE_FASTA)
+    a = score_sequences(seqs, model, tok, pad_to_bucket=False)
+    b = score_sequences(seqs, model, tok, pad_to_bucket=True)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_vs_single_scores(setup):
+    """Ragged batching with right-pad must equal per-sequence scoring."""
+    model, tok = setup
+    _, seqs = read_fasta(EXAMPLE_FASTA)
+    batch_scores = score_sequences(seqs, model, tok)
+    single_scores = [score_sequences([s], model, tok)[0] for s in seqs]
+    np.testing.assert_allclose(batch_scores, single_scores, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_positional_entropies(setup):
+    model, tok = setup
+    _, seqs = read_fasta(EXAMPLE_FASTA)
+    ents = positional_entropies(seqs, model, tok)
+    assert [len(e) for e in ents] == [len(s) for s in seqs]
+    for e in ents:
+        assert np.all(e >= 0)
+        assert np.all(e <= np.log(512) + 1e-5)
+
+
+def test_invalid_reduce_method(setup):
+    model, tok = setup
+    with pytest.raises(ValueError):
+        score_sequences(['ACGT'], model, tok, reduce_method='median')
