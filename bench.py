@@ -1,0 +1,151 @@
+"""Benchmark CLI: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): prefill tokens/sec/chip on the flagship 7B
+StripedHyena (evo-1-8k-base schema), batch 1 x 8192, bf16, random weights.
+`vs_baseline` is measured tokens/s divided by the driver target of 50% of the
+hardware matmul roofline at this model's FLOPs/token (the reference publishes
+no throughput numbers - BASELINE.md).
+
+Usage: python bench.py [--preset prefill8k|decode|tiny] [--json-only]
+On non-TPU backends a scaled-down model with the same schema is used so the
+benchmark always produces a line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# bf16 matmul peak per chip, by TPU generation (approx, public numbers).
+# device_kind strings look like 'TPU v5 lite', 'TPU v5p', 'TPU v4'.
+_PEAK_FLOPS = {
+    'v6e': 918e12, 'v6 lite': 918e12,
+    'v5p': 459e12,
+    'v5e': 197e12, 'v5 lite': 197e12, 'v5litepod': 197e12,
+    'v4': 275e12, 'v3': 123e12, 'v2': 46e12,
+}
+_DEFAULT_PEAK = 459e12  # v5p
+
+
+def _chip_peak_flops() -> float:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _DEFAULT_PEAK
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return _DEFAULT_PEAK
+
+
+def _model_flops_per_token(cfg) -> float:
+    """Matmul FLOPs per token (forward): 2 * matmul params. Long-conv FFT and
+    attention score FLOPs are excluded (sub-10% at L=8k and not MXU-bound)."""
+    D, I = cfg.hidden_size, cfg.inner_mlp_size_actual
+    per_hyena = 2 * (3 * D * D + D * D)          # in-proj + out-proj
+    per_attn = 2 * (3 * D * D + D * D)
+    per_mlp = 2 * (2 * D * I + I * D)
+    n_attn = len(cfg.attn_layer_idxs)
+    n_hyena = cfg.num_layers - n_attn
+    embed = 2 * D * cfg.padded_vocab_size        # unembed matmul
+    return (n_hyena * per_hyena + n_attn * per_attn
+            + cfg.num_layers * per_mlp + embed)
+
+
+def bench_prefill(cfg, batch: int, length: int, iters: int = 3):
+    from evo_tpu import model as model_lib
+
+    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (batch, length)),
+        jnp.int32)
+    # Reduce on device, fetch the scalar: a host readback is the only
+    # reliable sync point (on the tunneled 'axon' backend
+    # block_until_ready returns before remote execution finishes).
+    fwd = jax.jit(lambda p, ids: jnp.sum(
+        model_lib.forward(p, cfg, ids), dtype=jnp.float32))
+    float(fwd(params, ids))          # compile + warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fwd(params, ids))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return batch * length / dt
+
+
+def bench_decode(cfg, batch: int, prompt_len: int, steps: int = 64):
+    from evo_tpu import model as model_lib
+
+    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (batch, prompt_len)),
+        jnp.int32)
+    cache = model_lib.init_cache(cfg, batch, prompt_len + steps + 1)
+    prefill = jax.jit(functools.partial(model_lib.prefill, cfg=cfg))
+    logits, cache = prefill(params, ids=ids, cache=cache)
+    decode = jax.jit(functools.partial(model_lib.decode_step, cfg=cfg),
+                     donate_argnames=('cache',))
+    tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    # compile
+    logits_t, cache = decode(params, token=tok, cache=cache)
+    float(jnp.sum(logits_t))         # host readback = real sync (axon)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tok = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        logits_t, cache = decode(params, token=tok, cache=cache)
+    float(jnp.sum(logits_t))
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--preset', default='prefill8k',
+                    choices=['prefill8k', 'decode', 'tiny'])
+    ap.add_argument('--batch', type=int, default=1)
+    ap.add_argument('--length', type=int, default=8192)
+    args = ap.parse_args()
+
+    from evo_tpu.models import config_for_model
+    from evo_tpu.config import tiny_config
+
+    on_tpu = jax.default_backend() == 'tpu'
+    if args.preset == 'tiny' or not on_tpu:
+        cfg = tiny_config(max_sequence_len=2048)
+        batch, length = 2, 512
+        name = 'tiny'
+    else:
+        cfg = config_for_model('evo-1-8k-base')
+        batch, length = args.batch, args.length
+        name = 'evo-1-8k-base-7b'
+
+    if args.preset == 'decode':
+        tps = bench_decode(cfg, batch, prompt_len=128, steps=64)
+        metric = f'decode_tokens_per_sec_per_chip_{name}'
+    else:
+        tps = bench_prefill(cfg, batch, length)
+        metric = f'prefill_tokens_per_sec_per_chip_{name}'
+
+    roofline_tps = _chip_peak_flops() / _model_flops_per_token(cfg)
+    target = 0.5 * roofline_tps                     # BASELINE.md target
+    print(json.dumps({
+        'metric': metric,
+        'value': round(tps, 2),
+        'unit': 'tokens/s',
+        'vs_baseline': round(tps / target, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,307 @@
+"""Checkpoint conversion and native sharded storage.
+
+Two formats:
+
+  * **Reference HF safetensors** (the reference's storage format,
+    `evo/models.py:103-120`): single-shard `model.safetensors` or sharded
+    `model.safetensors.index.json`.  Keys carry a `backbone.` prefix that is
+    stripped (`evo/models.py:122-129`); the tied unembed is copied from
+    `embedding_layer.weight` when absent (`evo/models.py:136-137`).  The
+    tensor-name schema of the engine (`stripedhyena==0.2.2`) is mapped to the
+    evo_tpu pytree here; torch `Linear` weights are `(out, in)` and are
+    transposed to the `(in, out)` layout used by our matmuls.
+
+  * **Native evo_tpu format**: orbax-checkpoint directory holding the param
+    pytree directly in its final (possibly TP-sharded) layout, plus a
+    `evo_tpu_checkpoint.json` marker.  Loading a native checkpoint into a
+    mesh restores each shard directly to its owning device - no host-RAM
+    full-model staging, which is what multi-host loading needs.
+
+Precision policy on conversion (reference `to_bfloat16_except_poles_residues`,
+`evo/models.py:148`): everything to `config.param_dtype` except Hyena
+`poles`/`residues`, which stay float32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu.config import ModelConfig
+
+NATIVE_MARKER = 'evo_tpu_checkpoint.json'
+
+
+# ---------------------------------------------------------------------------
+# Reference safetensors reading
+# ---------------------------------------------------------------------------
+
+def read_safetensors_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a HF snapshot directory (or a single .safetensors file) into a
+    flat dict of numpy arrays.  Mirrors the sharded/single-file logic of
+    `evo/models.py:103-120`."""
+    from safetensors import safe_open
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        index = os.path.join(path, 'model.safetensors.index.json')
+        single = os.path.join(path, 'model.safetensors')
+        if os.path.exists(index):
+            with open(index) as f:
+                weight_map = json.load(f)['weight_map']
+            files = sorted({os.path.join(path, v)
+                            for v in weight_map.values()})
+        elif os.path.exists(single):
+            files = [single]
+        else:
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith('.safetensors'))
+            if not files:
+                raise FileNotFoundError(
+                    f'No model.safetensors[.index.json] under {path}')
+    sd: Dict[str, np.ndarray] = {}
+    for fp in files:
+        with safe_open(fp, framework='numpy') as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    return sd
+
+
+def strip_backbone_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip the `backbone.` key prefix (reference `evo/models.py:122-129`)."""
+    out = {}
+    for k, v in sd.items():
+        out[k.removeprefix('backbone.')] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch-layout state dict -> evo_tpu param pytree
+# ---------------------------------------------------------------------------
+
+def _to_dtype(x: np.ndarray, dtype) -> jnp.ndarray:
+    # numpy has no native bfloat16; convert via jnp
+    return jnp.asarray(x).astype(dtype)
+
+
+def _pop(sd: Dict[str, np.ndarray], key: str,
+         required: bool = True) -> Optional[np.ndarray]:
+    if key in sd:
+        return sd.pop(key)
+    if required:
+        raise KeyError(f'checkpoint missing tensor {key!r}; '
+                       f'remaining keys: {sorted(sd)[:8]}...')
+    return None
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray],
+                       cfg: ModelConfig) -> Dict[str, Any]:
+    """Map an engine-layer state dict (backbone prefix already stripped) to
+    the evo_tpu param pytree.
+
+    Engine tensor-name schema (stripedhyena==0.2.2; the package is config-
+    driven and these names are its module paths - validated against checkpoint
+    shapes at conversion time, which is ground truth per SURVEY.md §2.A):
+
+      embedding_layer.weight                      (V, D)
+      unembed.weight                              (V, D)   [absent when tied]
+      norm.scale                                  (D,)
+      blocks.{i}.pre_norm.scale / post_norm.scale (D,)
+      blocks.{i}.mlp.l1.weight / l2.weight        (I, D)
+      blocks.{i}.mlp.l3.weight                    (D, I)
+      # attention layers
+      blocks.{i}.inner_mha_cls.Wqkv.weight/.bias       (3D, D) / (3D,)
+      blocks.{i}.inner_mha_cls.out_proj.weight/.bias   (D, D) / (D,)
+      blocks.{i}.inner_mha_cls.rotary_emb.inv_freq     [dropped; recomputed]
+      # hyena layers
+      blocks.{i}.projections.weight/.bias              (3D, D) / (3D,)
+      blocks.{i}.filter.short_filter_weight            (3D, 1, K)
+      blocks.{i}.filter.short_filter_bias              (3D,)
+      blocks.{i}.filter.poles / residues               (D, S, 1, 2) float32
+      blocks.{i}.filter.D                              (D,)
+      blocks.{i}.out_filter_dense.weight/.bias         (D, D) / (D,)
+    """
+    sd = dict(sd)
+    pd = jnp.dtype(cfg.param_dtype)
+    D = cfg.hidden_size
+
+    # drop non-parameter buffers
+    for k in [k for k in sd
+              if re.search(r'rotary_emb\.inv_freq$|\.t$|filter\.h$', k)]:
+        del sd[k]
+
+    params: Dict[str, Any] = {}
+    emb = _pop(sd, 'embedding_layer.weight')
+    params['embedding'] = _to_dtype(emb, pd)
+    unembed = _pop(sd, 'unembed.weight', required=not cfg.tie_embeddings)
+    if unembed is not None and not cfg.tie_embeddings:
+        params['unembed'] = _to_dtype(unembed, pd)
+    if cfg.final_norm:
+        params['final_norm'] = _to_dtype(_pop(sd, 'norm.scale'), pd)
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f'blocks.{i}.'
+        blk: Dict[str, Any] = {
+            'pre_norm': _to_dtype(_pop(sd, p + 'pre_norm.scale'), pd),
+            'post_norm': _to_dtype(_pop(sd, p + 'post_norm.scale'), pd),
+            'mlp': {
+                'w1': _to_dtype(_pop(sd, p + 'mlp.l1.weight').T, pd),
+                'w2': _to_dtype(_pop(sd, p + 'mlp.l2.weight').T, pd),
+                'w3': _to_dtype(_pop(sd, p + 'mlp.l3.weight').T, pd),
+            },
+        }
+        if cfg.is_attn_layer(i):
+            H, Dh = cfg.num_attention_heads, cfg.head_dim
+            # torch (3D, D) -> (D, 3D) -> (D, 3, H, Dh); rows of the torch
+            # weight are [q|k|v] contiguous, each (H, Dh)-major
+            wqkv = _pop(sd, p + 'inner_mha_cls.Wqkv.weight').T
+            attn = {
+                'wqkv': _to_dtype(wqkv.reshape(D, 3, H, Dh), pd),
+                'wo': _to_dtype(
+                    _pop(sd, p + 'inner_mha_cls.out_proj.weight')
+                    .T.reshape(H, Dh, D), pd),
+            }
+            b = _pop(sd, p + 'inner_mha_cls.Wqkv.bias',
+                     required=cfg.qkv_proj_bias)
+            if b is not None:
+                attn['bqkv'] = _to_dtype(b.reshape(3, H, Dh), pd)
+            b = _pop(sd, p + 'inner_mha_cls.out_proj.bias',
+                     required=cfg.mha_out_proj_bias)
+            if b is not None:
+                attn['bo'] = _to_dtype(b, pd)
+            blk['attn'] = attn
+        else:
+            poles = np.asarray(_pop(sd, p + 'filter.poles'), np.float32)
+            residues = np.asarray(_pop(sd, p + 'filter.residues'), np.float32)
+            # engine stores (D, S, 1, 2); squeeze the broadcast axis
+            if poles.ndim == 4:
+                poles = poles[:, :, 0, :]
+            if residues.ndim == 4:
+                residues = residues[:, :, 0, :]
+            fir_w = np.asarray(_pop(sd, p + 'filter.short_filter_weight'))
+            if fir_w.ndim == 3:          # torch conv1d layout (3C, 1, K)
+                fir_w = fir_w[:, 0, :]
+            K = fir_w.shape[-1]
+            # stream order x2, x1, v = z.split(D) rows [0:D|D:2D|2D:3D]
+            hy: Dict[str, Any] = {
+                'w_in': _to_dtype(
+                    _pop(sd, p + 'projections.weight').T.reshape(D, 3, D),
+                    pd),
+                'fir_w': _to_dtype(fir_w.reshape(3, D, K), pd),
+                'poles': jnp.asarray(poles, jnp.float32),
+                'residues': jnp.asarray(residues, jnp.float32),
+                'd_skip': _to_dtype(_pop(sd, p + 'filter.D'), pd),
+                'w_out': _to_dtype(
+                    _pop(sd, p + 'out_filter_dense.weight').T, pd),
+            }
+            b = _pop(sd, p + 'projections.bias',
+                     required=cfg.hyena_proj_bias)
+            if b is not None:
+                hy['b_in'] = _to_dtype(b.reshape(3, D), pd)
+            b = _pop(sd, p + 'filter.short_filter_bias',
+                     required=cfg.short_filter_bias)
+            if b is not None:
+                hy['fir_b'] = _to_dtype(b.reshape(3, D), pd)
+            b = _pop(sd, p + 'out_filter_dense.bias',
+                     required=cfg.hyena_out_proj_bias)
+            if b is not None:
+                hy['b_out'] = _to_dtype(b, pd)
+            blk['hyena'] = hy
+        blocks.append(blk)
+    params['blocks'] = blocks
+
+    if sd:
+        raise ValueError(
+            f'{len(sd)} unconsumed checkpoint tensors (schema drift - '
+            f'inspect and extend convert_state_dict): {sorted(sd)[:10]}')
+    return params
+
+
+def load_reference_checkpoint(path: str, cfg: ModelConfig,
+                              shardings=None) -> Dict[str, Any]:
+    """safetensors snapshot -> evo_tpu params (optionally placed on a mesh).
+
+    `shardings`: a pytree of NamedSharding matching the param tree; each
+    converted tensor is device_put to its sharding as it is built, so peak
+    host memory stays ~one full copy (the torch arrays) rather than two.
+    """
+    sd = strip_backbone_prefix(read_safetensors_state_dict(path))
+    params = convert_state_dict(sd, cfg)
+    if shardings is not None:
+        params = jax.device_put(params, shardings)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Native orbax format
+# ---------------------------------------------------------------------------
+
+def save_native(params, path: str, cfg: Optional[ModelConfig] = None) -> None:
+    """Write params as an orbax checkpoint + marker (works sharded: each host
+    writes only the shards it owns)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, 'params'), params, force=True)
+    meta: Dict[str, Any] = {'format': 'evo_tpu', 'version': 1}
+    if cfg is not None:
+        import dataclasses
+        meta['config'] = {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in dataclasses.asdict(cfg).items()}
+    if jax.process_index() == 0:
+        with open(os.path.join(path, NATIVE_MARKER), 'w') as f:
+            json.dump(meta, f, indent=1)
+
+
+def load_native(path: str, cfg: ModelConfig,
+                shardings=None) -> Dict[str, Any]:
+    """Restore a native checkpoint, directly into `shardings` when given."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    item = os.path.join(path, 'params')
+    if shardings is None:
+        return ckptr.restore(item)
+    # build restore_args so each array lands sharded on its devices
+    abstract = jax.tree_util.tree_map(
+        lambda s: ocp.ArrayRestoreArgs(sharding=s), shardings)
+    return ckptr.restore(item, restore_args=abstract)
+
+
+def native_config(path: str) -> Optional[ModelConfig]:
+    marker = os.path.join(os.path.abspath(path), NATIVE_MARKER)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        meta = json.load(f)
+    if 'config' not in meta:
+        return None
+    return ModelConfig.from_dict(meta['config'])
+
+
+def is_native_checkpoint(path: str) -> bool:
+    return os.path.exists(os.path.join(os.path.abspath(path), NATIVE_MARKER))
+
+
+def load_params_auto(path: str, cfg: ModelConfig, mesh=None,
+                     shardings=None) -> Dict[str, Any]:
+    """Dispatch on checkpoint format; `mesh` implies TP shardings when no
+    explicit `shardings` tree is passed."""
+    if shardings is None and mesh is not None:
+        from evo_tpu.parallel.sharding import param_shardings
+        shardings = param_shardings(cfg, mesh)
+    if is_native_checkpoint(path):
+        return load_native(path, cfg, shardings)
+    return load_reference_checkpoint(path, cfg, shardings)

@@ -85,6 +85,8 @@ class ModelConfig:
     use_pallas: str = 'auto'
     # Chunk size for the modal-state prefill scan (memory/speed tradeoff).
     state_prefill_chunk: int = 128
+    # Rematerialize each block on the backward pass (training / grads).
+    remat: bool = False
 
     def __post_init__(self):
         # tuples so the config is hashable (required for static jit args)

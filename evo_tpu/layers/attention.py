@@ -25,12 +25,16 @@ from evo_tpu.layers.rotary import apply_rotary, rotary_cos_sin
 
 
 def _qkv(p, cfg: ModelConfig, x):
-    B, L, D = x.shape
-    H, Dh = cfg.num_attention_heads, cfg.head_dim
-    qkv = x @ p['wqkv'].astype(x.dtype)
+    """Fused QKV projection.
+
+    Weight layout is (D, 3, H, Dh) — the three streams and the head axis are
+    explicit so TP sharding along H (`parallel/sharding.py`) is a pure
+    Megatron column split with no stream-boundary crossings. (Checkpoint
+    layout (3D, D) is re-shaped at conversion, checkpoint.py.)
+    """
+    qkv = jnp.einsum('bld,dthe->blthe', x, p['wqkv'].astype(x.dtype))
     if 'bqkv' in p:
         qkv = qkv + p['bqkv'].astype(x.dtype)
-    qkv = qkv.reshape(B, L, 3, H, Dh)
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
 
@@ -63,8 +67,8 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False):
 
 
 def _out(p, x_dtype, y):
-    B, L, H, Dh = y.shape
-    o = y.reshape(B, L, H * Dh) @ p['wo'].astype(x_dtype)
+    # wo: (H, Dh, D) — head axis explicit for TP row sharding
+    o = jnp.einsum('blhe,hed->bld', y, p['wo'].astype(x_dtype))
     if 'bo' in p:
         o = o + p['bo'].astype(x_dtype)
     return o

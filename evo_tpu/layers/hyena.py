@@ -15,9 +15,15 @@ Channel dimension is embarrassingly parallel across the long conv — under TP
 each chip owns hidden_size/tp channels and runs full-length FFTs locally
 (SURVEY.md §5 long-context plan).
 
+Parameter layout is TP-first: the input projection is stored (D, 3, C) and
+the FIR taps (3, C, K) with the three streams (x2, x1, v) as an explicit
+axis, so sharding the channel axis C across the `tp` mesh axis
+(`parallel/sharding.py`) never crosses a stream boundary — the GSPMD
+equivalent of the engine's `column_split: True` TP hint (config:34).
+
 Decode state (mirrors reference `inference_params_dict['hyena']`):
-  fir:  (B, 3D, K-1) trailing pre-FIR inputs
-  iir:  (B, D, S, 2) float32 modal state
+  fir:  (B, 3, C, K-1) trailing pre-FIR inputs
+  iir:  (B, C, S, 2) float32 modal state
 """
 
 from __future__ import annotations
@@ -32,18 +38,12 @@ from evo_tpu.ops import fftconv
 
 
 class HyenaState(NamedTuple):
-    fir: jax.Array   # (B, 3D, K-1)
-    iir: jax.Array   # (B, D, S, 2) float32
-
-
-def _in_proj(p, x):
-    z = x @ p['w_in'].astype(x.dtype)
-    if 'b_in' in p:
-        z = z + p['b_in'].astype(x.dtype)
-    return z
+    fir: jax.Array   # (B, 3, C, K-1)
+    iir: jax.Array   # (B, C, S, 2) float32
 
 
 def _out_proj(p, y):
+    """y: (B, L, C) -> (B, L, D)."""
     o = y @ p['w_out'].astype(y.dtype)
     if 'b_out' in p:
         o = o + p['b_out'].astype(y.dtype)
@@ -51,7 +51,7 @@ def _out_proj(p, y):
 
 
 def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
-               state: Optional[HyenaState] = None):
+               state: Optional[HyenaState] = None, mesh=None):
     """Full-sequence forward (prefill / scoring).
 
     x: (B, L, D). Returns (y, HyenaState | None). When `state` is given its
@@ -59,18 +59,24 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     collection computes the post-sequence fir/iir state for decode handoff.
     """
     B, L, D = x.shape
-    z = _in_proj(p, x)                          # (B, L, 3D)
-    z = jnp.swapaxes(z, 1, 2)                   # (B, 3D, L)
+    # (B, 3, C, L): streams axis explicit, length last for the convs
+    z = jnp.einsum('bld,dtc->btcl', x, p['w_in'].astype(x.dtype))
+    if 'b_in' in p:
+        z = z + p['b_in'].astype(x.dtype)[None, :, :, None]
     fir_in_state = state.fir if state is not None else None
     z, fir_state = fftconv.fir_causal_conv(
         z, p['fir_w'], p.get('fir_b'), fir_in_state)
-    x2, x1, v = jnp.split(z, 3, axis=1)         # (B, D, L) each
+    x2, x1, v = z[:, 0], z[:, 1], z[:, 2]       # (B, C, L) each
     u = x1 * v
     if state is not None:
         raise NotImplementedError(
             'segment-continued long conv lands with chunked prefill')
     h = fftconv.materialize_filter(p['poles'], p['residues'], L)
-    y = fftconv.fft_causal_conv(u, h) + \
+    # Tie the (input-independent) filter to this layer's activations so XLA
+    # cannot hoist all 29 layers' (C, L) filters to program start — at 7B/8k
+    # that is ~4 GB of simultaneously-live filter buffers (OOM on v5e).
+    h, u = jax.lax.optimization_barrier((h, u))
+    y = fftconv.fft_causal_conv(u, h, mesh=mesh) + \
         p['d_skip'].astype(jnp.float32)[None, :, None] * u.astype(jnp.float32)
     y = x2 * y.astype(x.dtype)
     out = _out_proj(p, jnp.swapaxes(y, 1, 2))
@@ -84,12 +90,13 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
 
 def hyena_step(p, cfg: ModelConfig, x_t, state: HyenaState):
     """Single-token decode step. x_t: (B, 1, D)."""
-    z_t = _in_proj(p, x_t)[:, 0]                      # (B, 3D)
+    z_t = jnp.einsum('bd,dtc->btc', x_t[:, 0], p['w_in'].astype(x_t.dtype))
+    if 'b_in' in p:
+        z_t = z_t + p['b_in'].astype(x_t.dtype)[None]
     z_t, fir_state = fftconv.fir_step(z_t, p['fir_w'], p.get('fir_b'),
                                       state.fir)
-    D = cfg.hidden_size
-    x2, x1, v = z_t[:, :D], z_t[:, D:2 * D], z_t[:, 2 * D:]
-    u = x1 * v                                         # (B, D)
+    x2, x1, v = z_t[:, 0], z_t[:, 1], z_t[:, 2]        # (B, C)
+    u = x1 * v
     y, iir = fftconv.modal_step(u, p['poles'], p['residues'], p['d_skip'],
                                 state.iir)
     y = x2 * y.astype(x_t.dtype)

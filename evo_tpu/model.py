@@ -90,12 +90,14 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
             },
         }
         if cfg.is_attn_layer(li):
+            H, Dh = cfg.num_attention_heads, cfg.head_dim
             attn = {
-                'wqkv': dense(next(keys), D, (D, 3 * D)),
-                'wo': dense(next(keys), D, (D, D)),
+                # TP-first layouts: streams/heads explicit (layers/attention.py)
+                'wqkv': dense(next(keys), D, (D, 3, H, Dh)),
+                'wo': dense(next(keys), D, (H, Dh, D)),
             }
             if cfg.qkv_proj_bias:
-                attn['bqkv'] = jnp.zeros((3 * D,), pd)
+                attn['bqkv'] = jnp.zeros((3, H, Dh), pd)
             if cfg.mha_out_proj_bias:
                 attn['bo'] = jnp.zeros((D,), pd)
             blk['attn'] = attn
@@ -110,8 +112,9 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
             residues = (jax.random.normal(k_res, (D, S, 2), jnp.float32)
                         / S)
             hy = {
-                'w_in': dense(next(keys), D, (D, 3 * D)),
-                'fir_w': (jax.random.normal(next(keys), (3 * D, K),
+                # (D, 3, C): streams axis explicit (layers/hyena.py)
+                'w_in': dense(next(keys), D, (D, 3, D)),
+                'fir_w': (jax.random.normal(next(keys), (3, D, K),
                                             jnp.float32) / jnp.sqrt(
                     jnp.float32(K))).astype(pd),
                 'poles': poles,          # float32 always
@@ -120,9 +123,9 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
                 'w_out': dense(next(keys), D, (D, D)),
             }
             if cfg.hyena_proj_bias:
-                hy['b_in'] = jnp.zeros((3 * D,), pd)
+                hy['b_in'] = jnp.zeros((3, D), pd)
             if cfg.short_filter_bias:
-                hy['fir_b'] = jnp.zeros((3 * D,), pd)
+                hy['fir_b'] = jnp.zeros((3, D), pd)
             if cfg.hyena_out_proj_bias:
                 hy['b_out'] = jnp.zeros((D,), pd)
             blk['hyena'] = hy
@@ -161,7 +164,7 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
             })
         else:
             layers.append(HyenaState(
-                fir=jnp.zeros((batch, 3 * D, K - 1), cd),
+                fir=jnp.zeros((batch, 3, D, K - 1), cd),
                 iir=jnp.zeros((batch, D, S, 2), jnp.float32),
             ))
     return {'offset': jnp.zeros((), jnp.int32), 'layers': layers}
@@ -172,8 +175,16 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
 # ---------------------------------------------------------------------------
 
 def _embed(params: Params, cfg: ModelConfig, ids: jax.Array) -> jax.Array:
+    """Token embedding as a one-hot matmul.
+
+    TPU-idiomatic: with a 512-row table the one-hot contraction rides the
+    MXU, is exact (a single 1.0 per row), and — unlike a gather — has
+    unambiguous GSPMD sharding propagation under (dp, tp) meshes.
+    """
     cd = _dtype(cfg.compute_dtype)
-    return jnp.take(params['embedding'], ids, axis=0).astype(cd)
+    w = params['embedding']
+    onehot = jax.nn.one_hot(ids, w.shape[0], dtype=cd)
+    return onehot @ w.astype(cd)
 
 
 def _unembed(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
@@ -185,30 +196,44 @@ def _unembed(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     return logits[..., :cfg.vocab_size]
 
 
-def forward(params: Params, cfg: ModelConfig, ids: jax.Array) -> jax.Array:
+def _block_full(blk: Params, x: jax.Array, *, cfg: ModelConfig, li: int,
+                up: bool, mesh=None) -> jax.Array:
+    """One pre-norm residual block, full-sequence path."""
+    h = rmsnorm(x, blk['pre_norm'], cfg.eps)
+    if cfg.is_attn_layer(li):
+        mix, _ = mha_full(blk['attn'], cfg, h, use_pallas=up)
+    else:
+        mix, _ = hyena_full(blk['hyena'], cfg, h, mesh=mesh)
+    x = x + mix
+    return x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
+                         cfg.mlp_activation)
+
+
+def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
+            mesh=None) -> jax.Array:
     """Plain batched forward: ids (B, L) int32 -> logits (B, L, vocab) f32.
 
     Matches reference `model(input_ids)` -> logits (`evo/scoring.py:81`).
     No padding mask, by design: the reference feeds right-padded batches with
     no mask and slices outputs afterwards (`evo/scoring.py:22-31, 93-96`) —
     replicated exactly (SURVEY.md §7 hard part #6).
+
+    With `cfg.remat` each block is rematerialized on the backward pass
+    (activation memory O(sqrt) for training / long-context scoring grads).
     """
     up = _use_pallas(cfg)
     x = _embed(params, cfg, ids)
     for li, blk in enumerate(params['blocks']):
-        h = rmsnorm(x, blk['pre_norm'], cfg.eps)
-        if cfg.is_attn_layer(li):
-            mix, _ = mha_full(blk['attn'], cfg, h, use_pallas=up)
-        else:
-            mix, _ = hyena_full(blk['hyena'], cfg, h)
-        x = x + mix
-        x = x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
-                          cfg.mlp_activation)
+        def block(b, y, _li=li):
+            return _block_full(b, y, cfg=cfg, li=_li, up=up, mesh=mesh)
+        if cfg.remat:
+            block = jax.checkpoint(block)
+        x = block(blk, x)
     return _unembed(params, cfg, x)
 
 
 def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
-            cache: Params) -> Tuple[jax.Array, Params]:
+            cache: Params, mesh=None) -> Tuple[jax.Array, Params]:
     """Consume a full prompt, filling the decode cache.
 
     ids: (B, L). Returns (logits (B, L, vocab) f32, cache with offset=L).
@@ -227,7 +252,8 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
                                kv_buffers=(st['k'], st['v']), use_pallas=up)
             new_layers.append({'k': kv[0], 'v': kv[1]})
         else:
-            mix, hst = hyena_full(blk['hyena'], cfg, h, collect_state=True)
+            mix, hst = hyena_full(blk['hyena'], cfg, h, collect_state=True,
+                                  mesh=mesh)
             new_layers.append(hst)
         x = x + mix
         x = x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),

@@ -67,9 +67,9 @@ class EvoModel:
         self.params = params
         self.mesh = mesh
         self._fwd = jax.jit(
-            functools.partial(_forward_cfg, cfg=config))
+            functools.partial(_forward_cfg, cfg=config, mesh=mesh))
         self._prefill = jax.jit(
-            functools.partial(_prefill_cfg, cfg=config))
+            functools.partial(_prefill_cfg, cfg=config, mesh=mesh))
         self._step = jax.jit(
             functools.partial(_step_cfg, cfg=config),
             donate_argnums=(2,))
@@ -99,15 +99,16 @@ class EvoModel:
 
     def forward_fn(self):
         """The raw jittable (params, ids) -> logits function."""
-        return functools.partial(_forward_cfg, cfg=self.config)
+        return functools.partial(_forward_cfg, cfg=self.config,
+                                 mesh=self.mesh)
 
 
-def _forward_cfg(params, ids, *, cfg):
-    return model_lib.forward(params, cfg, ids)
+def _forward_cfg(params, ids, *, cfg, mesh=None):
+    return model_lib.forward(params, cfg, ids, mesh=mesh)
 
 
-def _prefill_cfg(params, ids, cache, *, cfg):
-    return model_lib.prefill(params, cfg, ids, cache)
+def _prefill_cfg(params, ids, cache, *, cfg, mesh=None):
+    return model_lib.prefill(params, cfg, ids, cache, mesh=mesh)
 
 
 def _step_cfg(params, token, cache, *, cfg):

@@ -66,22 +66,43 @@ def materialize_filter(poles: jax.Array, residues: jax.Array,
     return h
 
 
-def fft_causal_conv(u: jax.Array, h: jax.Array) -> jax.Array:
-    """Causal convolution along the last axis via real FFT.
-
-    u: (..., D, L) any float dtype; h: (D, L) float32.
-    Returns (..., D, L) float32:  y[.., d, t] = sum_{tau<=t} h[d,t-tau] u[..,d,tau]
-
-    FFT length is the next power of two >= 2L (linear, not circular, conv);
-    computation in float32 regardless of input dtype (parity requirement,
-    SURVEY.md §7 hard part #2).
-    """
+def _fft_causal_conv_local(u: jax.Array, h: jax.Array) -> jax.Array:
+    """Single-shard FFT conv body (see fft_causal_conv)."""
     L = u.shape[-1]
     fft_len = max(2, int(2 ** np.ceil(np.log2(2 * L))))
     u_f = jnp.fft.rfft(u.astype(jnp.float32), n=fft_len, axis=-1)
     h_f = jnp.fft.rfft(h.astype(jnp.float32), n=fft_len, axis=-1)
-    y = jnp.fft.irfft(u_f * h_f, n=fft_len, axis=-1)[..., :L]
-    return y
+    return jnp.fft.irfft(u_f * h_f, n=fft_len, axis=-1)[..., :L]
+
+
+def fft_causal_conv(u: jax.Array, h: jax.Array, mesh=None) -> jax.Array:
+    """Causal convolution along the last axis via real FFT.
+
+    u: (B, D, L) any float dtype; h: (D, L) float32.
+    Returns (B, D, L) float32:  y[b, d, t] = sum_{tau<=t} h[d,t-tau] u[b,d,tau]
+
+    FFT length is the next power of two >= 2L (linear, not circular, conv);
+    computation in float32 regardless of input dtype (parity requirement,
+    SURVEY.md §7 hard part #2).
+
+    With a (dp, tp) `mesh`, the conv runs inside `jax.shard_map`: batch on
+    dp, channels on tp, full length per shard. The long conv is depthwise,
+    so this is communication-free by construction — each chip FFTs its own
+    D/tp channels (SURVEY.md §5 long-context plan) — and it keeps the SPMD
+    partitioner out of the FFT (whose partitioned lowering XLA:CPU cannot
+    execute: fft_thunk layout RET_CHECK).
+    """
+    if mesh is None:
+        return _fft_causal_conv_local(u, h)
+    from jax.sharding import PartitionSpec as P
+    # check_vma=False: the fft transpose rule mis-tags cotangent varying-axes
+    # under shard_map (jax 0.9); replication checking is unnecessary here -
+    # the body is elementwise-per-(channel, batch) shard by construction.
+    conv = jax.shard_map(
+        _fft_causal_conv_local, mesh=mesh,
+        in_specs=(P('dp', 'tp', None), P('tp', None)),
+        out_specs=P('dp', 'tp', None), check_vma=False)
+    return conv(u, h)
 
 
 def direct_causal_conv(u: jax.Array, h: jax.Array) -> jax.Array:
@@ -101,37 +122,37 @@ def fir_causal_conv(z: jax.Array, w: jax.Array, b: jax.Array | None,
                     state: jax.Array | None = None):
     """Depthwise causal FIR (short filter, length `K`, reference K=3).
 
-    z: (B, C, L); w: (C, K) taps ordered [oldest .. newest] so that
+    z: (B, *C, L); w: (*C, K) taps ordered [oldest .. newest] so that
         y[c, t] = sum_j w[c, j] * z[c, t - (K-1-j)]  (+ b[c])
-    state: (B, C, K-1) trailing inputs from a previous segment (None = zeros,
-        i.e. left zero-padding).
+    state: (B, *C, K-1) trailing inputs from a previous segment (None = zeros,
+        i.e. left zero-padding). `*C` is any number of channel axes (the
+    Hyena layer uses (3, C) so TP can shard C without touching streams).
 
-    Returns (y, new_state) with y: (B, C, L) in z.dtype and new_state the last
-    K-1 inputs of the concatenated stream.
+    Returns (y, new_state) with y: (B, *C, L) in z.dtype and new_state the
+    last K-1 inputs of the concatenated stream.
     """
-    B, C, L = z.shape
+    L = z.shape[-1]
     K = w.shape[-1]
     if state is None:
-        state = jnp.zeros((B, C, K - 1), dtype=z.dtype)
-    zc = jnp.concatenate([state.astype(z.dtype), z], axis=-1)  # (B, C, L+K-1)
-    y = jnp.zeros((B, C, L), dtype=jnp.float32)
+        state = jnp.zeros(z.shape[:-1] + (K - 1,), dtype=z.dtype)
+    zc = jnp.concatenate([state.astype(z.dtype), z], axis=-1)  # (B,*C,L+K-1)
+    y = jnp.zeros(z.shape, dtype=jnp.float32)
     for j in range(K):
-        y = y + w[:, j].astype(jnp.float32)[None, :, None] * \
+        y = y + w[None, ..., j, None].astype(jnp.float32) * \
             zc[..., j:j + L].astype(jnp.float32)
     if b is not None:
-        y = y + b.astype(jnp.float32)[None, :, None]
+        y = y + b[None, ..., None].astype(jnp.float32)
     new_state = zc[..., L:]
     return y.astype(z.dtype), new_state
 
 
 def fir_step(z_t: jax.Array, w: jax.Array, b: jax.Array | None,
              state: jax.Array):
-    """Single-token FIR step. z_t: (B, C); state: (B, C, K-1)."""
-    K = w.shape[-1]
-    zc = jnp.concatenate([state, z_t[..., None]], axis=-1)  # (B, C, K)
+    """Single-token FIR step. z_t: (B, *C); state: (B, *C, K-1)."""
+    zc = jnp.concatenate([state, z_t[..., None]], axis=-1)  # (B, *C, K)
     y = jnp.sum(zc.astype(jnp.float32) * w.astype(jnp.float32)[None], axis=-1)
     if b is not None:
-        y = y + b.astype(jnp.float32)[None, :]
+        y = y + b.astype(jnp.float32)[None]
     return y.astype(z_t.dtype), zc[..., 1:]
 
 

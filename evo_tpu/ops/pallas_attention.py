@@ -1,0 +1,122 @@
+"""Pallas TPU flash attention (causal), the N1 kernel of SURVEY.md §2.A.
+
+Replaces the reference's FlashAttention-2 CUDA dependency (`README.md:47-48`,
+`use_flash_attn: True` config:30) for the 3 attention layers. Classic
+online-softmax tiling: grid (batch*heads, q_blocks, k_blocks) with the
+k-block axis innermost (sequential on TPU), fp32 running max / denominator /
+accumulator in VMEM scratch, bf16 MXU matmuls with fp32 accumulation.
+
+Causal structure: blocks strictly above the diagonal are skipped via
+`pl.when` (no FLOPs, no VMEM traffic beyond the automatic block fetch);
+the diagonal block is masked elementwise. Sequence padding to the block size
+needs no extra masking - padded key columns are always "in the future" of
+every real query row, so the causal mask removes them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, block_q: int, block_k: int):
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(kb <= qb)
+    def _compute():
+        q = q_ref[0]                                   # (bq, Dh)
+        k = k_ref[0]                                   # (bk, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        s = jnp.where(col <= row, s, -jnp.inf)
+
+        m_prev = m_scr[:, 0]                           # (bq,)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[:, None])                # (bq, bk) f32
+        alpha = jnp.exp(m_prev - m_new)                # (bq,)
+        l_scr[:] = l_scr[:] * alpha[:, None] + \
+            jnp.sum(p, axis=-1)[:, None]
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
+
+
+def _flash_bhld(q, k, v, *, block_q: int, block_k: int,
+                interpret: bool = False):
+    """q, k, v: (BH, L, Dh) with L a multiple of the block sizes."""
+    BH, L, Dh = q.shape
+    scale = 1.0 / (Dh ** 0.5)
+    grid = (BH, L // block_q, L // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale,
+                               block_q=block_q, block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),   # running max
+            pltpu.VMEM((block_q, _LANES), jnp.float32),   # denominator
+            pltpu.VMEM((block_q, Dh), jnp.float32),       # output acc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * L * L * Dh // 2,  # ~causal half
+            bytes_accessed=3 * BH * L * Dh * q.dtype.itemsize,
+            transcendentals=BH * L * L // 2,
+        ),
+    )(q, k, v)
+
+
+def flash_attention_causal(q, k, v, *, block_q: int = 256,
+                           block_k: int = 256, interpret: bool = False):
+    """Causal SDPA. q, k, v: (B, L, H, Dh) -> (B, L, H, Dh), q.dtype.
+
+    Contract identical to the naive `sdpa_causal` oracle
+    (layers/attention.py); tested against it in tests/test_pallas_attention.py.
+    """
+    B, L, H, Dh = q.shape
+    bq = min(block_q, max(8, L))
+    bk = min(block_k, max(128, L))
+    pad = (-L) % max(bq, bk)
+    bq = min(bq, L + pad)
+    bk = min(bk, L + pad)
+
+    def to_bhld(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, L, Dh)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
+    o = _flash_bhld(to_bhld(q), to_bhld(k), to_bhld(v),
+                    block_q=bq, block_k=bk, interpret=interpret)
+    if pad:
+        o = o[:, :L]
+    return jnp.swapaxes(o.reshape(B, H, L, Dh), 1, 2)

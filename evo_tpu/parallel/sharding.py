@@ -1,0 +1,122 @@
+"""GSPMD sharding trees for the StripedHyena parameter/cache pytrees.
+
+Megatron tensor-parallel layout over the `tp` mesh axis (the plan of
+SURVEY.md §2.A "Parallelism strategy inventory"):
+
+  * attention: QKV column-sharded by head (wqkv (D,3,H,Dh) sharded on H),
+    out-proj row-sharded by head — the activation psum after `wo` is inserted
+    by XLA;
+  * Hyena: the channel axis C is sharded everywhere (in-proj columns, FIR
+    taps, poles/residues/D, out-proj rows). The long conv is depthwise, so
+    under this sharding each chip runs full-length FFTs over its own C/tp
+    channels with zero sequence-axis communication — the property that makes
+    Hyena exceptionally TP-friendly (SURVEY.md §5 long-context plan);
+  * MLP: w1/w2 column-, w3 row-sharded;
+  * embedding/unembed: model-dim sharded (the logit contraction over D
+    becomes a psum; vocab is only 512 so replicated logits are cheap);
+  * norms and biases-after-row-matmuls: replicated.
+
+Decode caches shard batch on `dp` and heads/channels on `tp`, so a decode
+step runs with no resharding of state.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from evo_tpu.config import ModelConfig
+from evo_tpu.layers.hyena import HyenaState
+
+# Specs keyed by param name within each scope
+_ATTN_SPECS = {
+    'wqkv': P(None, None, 'tp', None),   # (D, 3, H, Dh)
+    'bqkv': P(None, 'tp', None),         # (3, H, Dh)
+    'wo': P('tp', None, None),           # (H, Dh, D) row-parallel
+    'bo': P(None),
+}
+_HYENA_SPECS = {
+    'w_in': P(None, None, 'tp'),         # (D, 3, C)
+    'b_in': P(None, 'tp'),               # (3, C)
+    'fir_w': P(None, 'tp', None),        # (3, C, K)
+    'fir_b': P(None, 'tp'),
+    'poles': P('tp', None, None),        # (C, S, 2)
+    'residues': P('tp', None, None),
+    'd_skip': P('tp'),
+    'w_out': P('tp', None),              # (C, D) row-parallel
+    'b_out': P(None),
+}
+_MLP_SPECS = {
+    'w1': P(None, 'tp'),                 # (D, I)
+    'w2': P(None, 'tp'),
+    'w3': P('tp', None),                 # (I, D)
+}
+_TOP_SPECS = {
+    # (V, D) = 512 x 4096 bf16 = 4 MB: replicating costs nothing and keeps
+    # the token gather / tied-unembed matmul collective-free. (A vocab-
+    # sharded layout only pays off for real vocabularies.)
+    'embedding': P(None, None),
+    'unembed': P(None, None),
+    'final_norm': P(None),
+    'pre_norm': P(None),
+    'post_norm': P(None),
+}
+
+
+def _spec_for_path(path) -> P:
+    keys = [getattr(k, 'key', getattr(k, 'idx', None)) for k in path]
+    name = keys[-1]
+    if 'attn' in keys:
+        return _ATTN_SPECS[name]
+    if 'hyena' in keys:
+        return _HYENA_SPECS[name]
+    if 'mlp' in keys:
+        return _MLP_SPECS[name]
+    return _TOP_SPECS[name]
+
+
+def param_specs(cfg: ModelConfig) -> Any:
+    """PartitionSpec tree matching `model.init_params` (abstract; no mesh)."""
+    from evo_tpu import model as model_lib
+    shapes = jax.eval_shape(lambda key: model_lib.init_params(key, cfg),
+                            jax.random.PRNGKey(0))
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _spec_for_path(path), shapes)
+
+
+def param_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
+    """NamedSharding tree matching `model.init_params(cfg)`."""
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), param_specs(cfg),
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def cache_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
+    """NamedSharding tree matching `model.init_cache(cfg, B, T)`."""
+    layers = []
+    for li in range(cfg.num_layers):
+        if cfg.is_attn_layer(li):
+            kv = NamedSharding(mesh, P('dp', None, 'tp', None))
+            layers.append({'k': kv, 'v': kv})
+        else:
+            layers.append(HyenaState(
+                fir=NamedSharding(mesh, P('dp', None, 'tp', None)),
+                iir=NamedSharding(mesh, P('dp', 'tp', None, None)),
+            ))
+    return {'offset': NamedSharding(mesh, P()), 'layers': layers}
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Token-id batches: (B, L) sharded on batch across dp."""
+    return NamedSharding(mesh, P('dp', None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: Any, cfg: ModelConfig, mesh: Mesh) -> Any:
+    """Place an (unsharded or host-local) param tree onto the mesh."""
+    return jax.device_put(params, param_shardings(cfg, mesh))

@@ -1,0 +1,72 @@
+"""CLI sampling (flag parity with reference `scripts/generate.py:24-35`).
+
+Example:
+    python -m scripts.generate --prompt ACGT --n-samples 10 --n-tokens 100 \
+        --temperature 1.0 --top-k 4 --model-name evo-1-8k-base \
+        --checkpoint-path /path/to/snapshot
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from evo_tpu.generation import generate
+from evo_tpu.models import Evo
+
+
+def main():
+    parser = argparse.ArgumentParser(description='Generate with Evo (TPU).')
+    parser.add_argument('--prompt', required=True)
+    parser.add_argument('--n-samples', type=int, default=3)
+    parser.add_argument('--n-tokens', type=int, default=100)
+    parser.add_argument('--temperature', type=float, default=1.0)
+    parser.add_argument('--top-k', type=int, default=4)
+    parser.add_argument('--top-p', type=float, default=1.0)
+    parser.add_argument('--model-name', default='evo-1-8k-base')
+    parser.add_argument('--cached-generation', action='store_true',
+                        default=True,
+                        help='accepted for compat; decode is always cached')
+    parser.add_argument('--batched', action='store_true', default=True)
+    parser.add_argument('--prepend-bos', action='store_true', default=False)
+    parser.add_argument('--device', default=None,
+                        help='compat flag; unused under JAX')
+    parser.add_argument('--verbose', type=int, default=1)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--checkpoint-path', default=None)
+    parser.add_argument('--random-init', action='store_true')
+    parser.add_argument('--tiny', action='store_true',
+                        help='tiny same-schema model (CPU smoke tests; '
+                             'implies --random-init)')
+    parser.add_argument('--dp', type=int, default=1)
+    parser.add_argument('--tp', type=int, default=None)
+    args = parser.parse_args()
+
+    mesh = None
+    if args.dp > 1 or args.tp not in (None, 1):
+        from evo_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+
+    overrides = None
+    if args.tiny:
+        args.random_init = True
+        overrides = dict(
+            hidden_size=64, num_filters=64, num_layers=4,
+            attn_layer_idxs=(1,), hyena_layer_idxs=(),
+            num_attention_heads=4, state_size=4, compute_dtype='float32',
+            param_dtype='float32', use_pallas='never')
+    evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
+              random_init=args.random_init, config_overrides=overrides,
+              mesh=mesh)
+
+    prompts = [args.prompt] * args.n_samples
+    seqs, scores = generate(
+        prompts, evo.model, evo.tokenizer,
+        n_tokens=args.n_tokens, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p, batched=args.batched,
+        prepend_bos=args.prepend_bos, cached_generation=True,
+        verbose=args.verbose, seed=args.seed)
+    return seqs, scores
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,93 @@
+"""CLI: FASTA in -> TSV of per-sequence log-likelihood scores out.
+
+Flag parity with reference `scripts/score.py:25-29` (`--input-fasta
+--output-tsv --model-name --batch-size --device`), plus TPU extensions:
+`--checkpoint-path` (no-network environments), `--random-init`, mesh shape
+flags, and shape bucketing to bound jit specializations.
+
+Example:
+    python -m scripts.score \
+        --input-fasta examples/example_seqs.fasta \
+        --output-tsv scores.tsv \
+        --model-name evo-1-8k-base --checkpoint-path /path/to/snapshot
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from evo_tpu.io.fasta import read_fasta
+from evo_tpu.models import Evo
+from evo_tpu.scoring import score_sequences
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Score sequences with Evo (TPU).')
+    parser.add_argument('--input-fasta', required=True,
+                        help='Path to input FASTA file')
+    parser.add_argument('--output-tsv', required=True,
+                        help='Path to output TSV file')
+    parser.add_argument('--model-name', default='evo-1-8k-base')
+    parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('--device', default=None,
+                        help='accepted for reference-CLI compat; unused '
+                             '(JAX owns device placement)')
+    parser.add_argument('--checkpoint-path', default=None,
+                        help='local HF safetensors snapshot or converted '
+                             'evo_tpu checkpoint')
+    parser.add_argument('--random-init', action='store_true',
+                        help='random weights (smoke tests / benchmarking)')
+    parser.add_argument('--tiny', action='store_true',
+                        help='tiny model of the same schema (CPU smoke '
+                             'tests; implies --random-init)')
+    parser.add_argument('--reduce-method', default='mean',
+                        choices=['mean', 'sum'])
+    parser.add_argument('--dp', type=int, default=1,
+                        help='data-parallel mesh size')
+    parser.add_argument('--tp', type=int, default=None,
+                        help='tensor-parallel mesh size (default: all '
+                             'devices / dp)')
+    parser.add_argument('--no-bucket', action='store_true',
+                        help='disable power-of-two length bucketing')
+    args = parser.parse_args()
+
+    mesh = None
+    if args.dp > 1 or args.tp not in (None, 1):
+        from evo_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+
+    overrides = None
+    if args.tiny:
+        args.random_init = True
+        overrides = dict(
+            hidden_size=64, num_filters=64, num_layers=4,
+            attn_layer_idxs=(1,), hyena_layer_idxs=(),
+            num_attention_heads=4, state_size=4, compute_dtype='float32',
+            param_dtype='float32', use_pallas='never')
+    evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
+              random_init=args.random_init, config_overrides=overrides,
+              mesh=mesh)
+
+    names, seqs = read_fasta(args.input_fasta)
+    print(f'Scoring {len(seqs)} sequences...', flush=True)
+
+    scores = []
+    for i in range(0, len(seqs), args.batch_size):
+        batch = seqs[i:i + args.batch_size]
+        scores += score_sequences(
+            batch, evo.model, evo.tokenizer,
+            reduce_method=args.reduce_method,
+            pad_to_bucket=not args.no_bucket)
+        print(f'  {min(i + args.batch_size, len(seqs))}/{len(seqs)}',
+              flush=True)
+
+    with open(args.output_tsv, 'w') as f:
+        f.write('seqs\tscores\n')
+        for seq, score in zip(seqs, scores):
+            f.write(f'{seq}\t{score}\n')
+    print(f'Wrote {args.output_tsv}')
+
+
+if __name__ == '__main__':
+    main()

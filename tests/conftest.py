@@ -20,5 +20,13 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
 jax.config.update('jax_enable_x64', False)
 
+# Persistent compilation cache: the suite's cost is dominated by hundreds of
+# tiny XLA compiles (eager-op dispatch in loops + per-shape jits); caching
+# them makes re-runs ~10x faster.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/evo_tpu_jax_test_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
 assert jax.default_backend() == 'cpu'
 assert jax.device_count() == 8, jax.devices()

@@ -1,0 +1,144 @@
+"""Checkpoint converter tests: a synthetic engine-layout (torch-naming)
+state dict must round-trip into the evo_tpu pytree exactly — layouts,
+transposes, stream/head reshapes, fp32 poles/residues, tied unembed, and
+`backbone.` prefix stripping (reference `evo/models.py:122-137`)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from evo_tpu import checkpoint, model as model_lib
+from evo_tpu.config import tiny_config
+
+
+def _params_to_engine_sd(params, cfg):
+    """Inverse of convert_state_dict: evo_tpu pytree -> engine-naming numpy
+    state dict (torch (out, in) Linear layout)."""
+    D = cfg.hidden_size
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    K = cfg.short_filter_length
+    # NOTE: safetensors save_file silently corrupts non-contiguous arrays
+    # (writes the base buffer's byte order), so every transposed tensor must
+    # be made contiguous before saving.
+    f32 = lambda x: np.ascontiguousarray(
+        np.asarray(jnp.astype(x, jnp.float32)))
+    sd = {'embedding_layer.weight': f32(params['embedding'])}
+    if cfg.final_norm:
+        sd['norm.scale'] = f32(params['final_norm'])
+    for i, blk in enumerate(params['blocks']):
+        p = f'blocks.{i}.'
+        sd[p + 'pre_norm.scale'] = f32(blk['pre_norm'])
+        sd[p + 'post_norm.scale'] = f32(blk['post_norm'])
+        sd[p + 'mlp.l1.weight'] = f32(blk['mlp']['w1']).T
+        sd[p + 'mlp.l2.weight'] = f32(blk['mlp']['w2']).T
+        sd[p + 'mlp.l3.weight'] = f32(blk['mlp']['w3']).T
+        if 'attn' in blk:
+            a = blk['attn']
+            sd[p + 'inner_mha_cls.Wqkv.weight'] = \
+                f32(a['wqkv']).reshape(D, 3 * H * Dh).T
+            sd[p + 'inner_mha_cls.Wqkv.bias'] = f32(a['bqkv']).reshape(-1)
+            sd[p + 'inner_mha_cls.out_proj.weight'] = \
+                f32(a['wo']).reshape(H * Dh, D).T
+            sd[p + 'inner_mha_cls.out_proj.bias'] = f32(a['bo'])
+            # buffer that must be dropped by the converter
+            sd[p + 'inner_mha_cls.rotary_emb.inv_freq'] = \
+                np.ones(Dh // 2, np.float32)
+        else:
+            h = blk['hyena']
+            sd[p + 'projections.weight'] = f32(h['w_in']).reshape(D, 3 * D).T
+            sd[p + 'projections.bias'] = f32(h['b_in']).reshape(-1)
+            sd[p + 'filter.short_filter_weight'] = \
+                f32(h['fir_w']).reshape(3 * D, 1, K)
+            sd[p + 'filter.short_filter_bias'] = f32(h['fir_b']).reshape(-1)
+            sd[p + 'filter.poles'] = np.asarray(h['poles'])[:, :, None, :]
+            sd[p + 'filter.residues'] = \
+                np.asarray(h['residues'])[:, :, None, :]
+            sd[p + 'filter.D'] = f32(h['d_skip'])
+            sd[p + 'out_filter_dense.weight'] = f32(h['w_out']).T
+            sd[p + 'out_filter_dense.bias'] = f32(h['b_out'])
+    return {k: np.ascontiguousarray(v) for k, v in sd.items()}
+
+
+@pytest.fixture(scope='module')
+def tiny():
+    cfg = tiny_config()
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_convert_round_trip(tiny):
+    cfg, params = tiny
+    sd = {'backbone.' + k: v for k, v in _params_to_engine_sd(
+        params, cfg).items()}
+    got = checkpoint.convert_state_dict(
+        checkpoint.strip_backbone_prefix(sd), cfg)
+    flat_want, tree_want = jax.tree_util.tree_flatten_with_path(params)
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    assert tree_want == jax.tree_util.tree_structure(got)
+    for path, want in flat_want:
+        g = flat_got[path]
+        assert g.shape == want.shape, path
+        assert g.dtype == want.dtype, path
+        np.testing.assert_allclose(
+            np.asarray(jnp.astype(g, jnp.float32)),
+            np.asarray(jnp.astype(want, jnp.float32)),
+            rtol=1e-6, atol=1e-6, err_msg=str(path))
+
+
+def test_poles_residues_stay_fp32(tiny):
+    cfg, params = tiny
+    cfg16 = cfg.replace(param_dtype='bfloat16')
+    sd = _params_to_engine_sd(params, cfg)
+    got = checkpoint.convert_state_dict(sd, cfg16)
+    hy = got['blocks'][0]['hyena']
+    assert hy['poles'].dtype == jnp.float32
+    assert hy['residues'].dtype == jnp.float32
+    assert hy['w_in'].dtype == jnp.bfloat16
+
+
+def test_converted_params_run_forward(tiny):
+    cfg, params = tiny
+    sd = _params_to_engine_sd(params, cfg)
+    got = checkpoint.convert_state_dict(sd, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 11), 0, 512)
+    lg_a = model_lib.forward(params, cfg, ids)
+    lg_b = model_lib.forward(got, cfg, ids)
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unconsumed_keys_raise(tiny):
+    cfg, params = tiny
+    sd = _params_to_engine_sd(params, cfg)
+    sd['blocks.0.some_novel_tensor'] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match='unconsumed'):
+        checkpoint.convert_state_dict(sd, cfg)
+
+
+def test_safetensors_round_trip(tiny, tmp_path):
+    from safetensors.numpy import save_file
+
+    cfg, params = tiny
+    sd = {'backbone.' + k: v for k, v in _params_to_engine_sd(
+        params, cfg).items()}
+    save_file(sd, str(tmp_path / 'model.safetensors'))
+    got = checkpoint.load_reference_checkpoint(str(tmp_path), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 7), 0, 512)
+    np.testing.assert_allclose(
+        np.asarray(model_lib.forward(got, cfg, ids)),
+        np.asarray(model_lib.forward(params, cfg, ids)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_native_save_load_round_trip(tiny, tmp_path):
+    cfg, params = tiny
+    path = str(tmp_path / 'native')
+    checkpoint.save_native(params, path, cfg)
+    assert checkpoint.is_native_checkpoint(path)
+    got = checkpoint.load_native(path, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cfg2 = checkpoint.native_config(path)
+    assert cfg2 == cfg

@@ -1,0 +1,92 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4
+prescription #4): TP/DP-sharded forward must equal the single-device
+forward, the cache shardings must compose with prefill/decode, and the
+driver dry-run must pass end-to-end."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from evo_tpu import model as model_lib
+from evo_tpu.config import tiny_config
+from evo_tpu.parallel.mesh import make_mesh
+from evo_tpu.parallel.sharding import (
+    cache_shardings, data_sharding, param_shardings, shard_params)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    # channels (64) and heads (4) divisible by tp=4; batch by dp=2
+    cfg = tiny_config()
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=2, tp=4)
+    return cfg, params, mesh
+
+
+def test_param_shardings_cover_tree(setup):
+    cfg, params, mesh = setup
+    ps = param_shardings(cfg, mesh)
+    assert (jax.tree_util.tree_structure(ps)
+            == jax.tree_util.tree_structure(params))
+    # every sharding must be valid for its param's shape
+    for s, x in zip(jax.tree_util.tree_leaves(ps),
+                    jax.tree_util.tree_leaves(params)):
+        s.shard_shape(x.shape)   # raises if incompatible
+
+
+def test_sharded_forward_matches_single_device(setup):
+    cfg, params, mesh = setup
+    sharded = shard_params(params, cfg, mesh)
+    ids = np.random.default_rng(0).integers(0, 512, (4, 12)).astype(np.int32)
+    ids_sh = jax.device_put(ids, data_sharding(mesh))
+    want = model_lib.forward(params, cfg, jnp.asarray(ids))
+    got = jax.jit(functools.partial(model_lib.forward, cfg=cfg, mesh=mesh))(
+        sharded, ids=ids_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_prefill_decode(setup):
+    cfg, params, mesh = setup
+    sharded = shard_params(params, cfg, mesh)
+    B, L = 2, 10
+    ids = np.random.default_rng(1).integers(0, 512, (B, L)).astype(np.int32)
+    ids_sh = jax.device_put(ids, data_sharding(mesh))
+    cache = jax.jit(
+        functools.partial(model_lib.init_cache, cfg, B, L + 4),
+        out_shardings=cache_shardings(cfg, mesh))()
+    logits, cache = jax.jit(
+        functools.partial(model_lib.prefill, cfg=cfg, mesh=mesh))(
+        sharded, ids=ids_sh, cache=cache)
+    tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    step = jax.jit(functools.partial(model_lib.decode_step, cfg=cfg))
+    logits_t, cache = step(sharded, token=tok, cache=cache)
+
+    # oracle: unsharded full forward over prompt+token
+    full = model_lib.forward(
+        params, cfg, jnp.concatenate(
+            [jnp.asarray(ids), np.asarray(tok)[:, None]], axis=1))
+    np.testing.assert_allclose(np.asarray(logits_t),
+                               np.asarray(full[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__
+    fn, (params, ids) = __graft_entry__.entry()
+    logits = jax.jit(fn)(params, ids)
+    assert logits.shape[0] == ids.shape[0]
+    assert np.all(np.isfinite(np.asarray(logits[:, :8])))

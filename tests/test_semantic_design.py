@@ -1,0 +1,176 @@
+"""semantic_design library tests: prompt IO, batching, sampling orchestration
+(with the tiny random model), sequence bookkeeping, filter heuristics, and
+subprocess wrappers against stub executables."""
+
+import csv
+import os
+import stat
+import textwrap
+
+import numpy as np
+import pytest
+
+from evo_tpu.config import tiny_config
+from evo_tpu.io.fasta import read_fasta, write_fasta
+from evo_tpu.models import Evo
+from semantic_design import semantic_design as sd
+
+
+# ---------------------------------------------------------------------------
+# Prompt IO
+# ---------------------------------------------------------------------------
+
+def test_read_prompts_batches_by_length(tmp_path):
+    path = tmp_path / 'prompts.csv'
+    with open(path, 'w', newline='') as f:
+        w = csv.writer(f)
+        w.writerow(['Sequence'])
+        for s in ['ACGT', 'TTTT', 'GGGG', 'ACGTAC', 'AAA']:
+            w.writerow([s])
+    batches = sd.read_prompts(str(path), batched=True, batch_size=2)
+    # groups: len4 x3 -> [2,1], len6 x1 -> [1], len3 x1 -> [1]
+    sizes = sorted(len(b) for b in batches)
+    assert sizes == [1, 1, 1, 2]
+    for b in batches:
+        assert len({len(s) for s in b}) == 1
+    flat = sd.read_prompts(str(path), batched=False)
+    assert flat == ['ACGT', 'TTTT', 'GGGG', 'ACGTAC', 'AAA']
+
+
+# ---------------------------------------------------------------------------
+# Sequence bookkeeping
+# ---------------------------------------------------------------------------
+
+def test_get_rc():
+    seqs = ['ACGT', 'AATT']
+    assert sd.get_rc(seqs, rc_truth=False) == seqs
+    rc = sd.get_rc(seqs, rc_truth=True, return_both=False)
+    assert rc == ['ACGT', 'AATT']  # both are their own rc? ACGT rc = ACGT
+    rc2 = sd.get_rc(['AAAC'], rc_truth=True, return_both=True)
+    assert rc2 == ['GTTT', 'AAAC']
+
+
+def test_make_fasta_roundtrip(tmp_path):
+    out = tmp_path / 'x.fasta'
+    sd.make_fasta(['ACGT', 'GGCC'], ['p1', 'p2'], ['id1', 'id2'], str(out))
+    names, seqs = read_fasta(str(out))
+    assert names == ['id1 p1', 'id2 p2']
+    assert seqs == ['ACGT', 'GGCC']
+
+
+def test_repetitive_and_underrepresented_filters():
+    assert sd.is_highly_repetitive('ABCABCABCABCABC')
+    assert not sd.is_highly_repetitive(
+        'MKVLAETSYRQWIDNPHGFCEKLMRVSTAYQPWHID')
+    assert sd.is_underrepresented_amino_acids('ABCDEFGHIJ')  # all singletons
+    assert not sd.is_underrepresented_amino_acids('AABBCCDDEE' * 3)
+
+
+# ---------------------------------------------------------------------------
+# Sampling orchestration on the tiny model
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def tiny_model():
+    evo = Evo('evo-1-8k-base', random_init=True, config_overrides=dict(
+        hidden_size=32, num_filters=32, num_layers=2, attn_layer_idxs=(1,),
+        hyena_layer_idxs=(0,), num_attention_heads=2, state_size=4,
+        inner_mlp_size=48, compute_dtype='float32', param_dtype='float32',
+        use_pallas='never', max_sequence_len=256, state_prefill_chunk=16))
+    return evo.model, evo.tokenizer
+
+
+def test_sample_model_writes_csv(tmp_path, tiny_model):
+    model, tokenizer = tiny_model
+    out_csv = tmp_path / 'gen.csv'
+    prompts, seqs, scores, ids = sd.sample_model(
+        [['ACGT', 'TTAA']], model, tokenizer, str(out_csv),
+        n_tokens=8, temp=0.7, top_k=4, batched=True,
+        n_sample_per_prompt=2)
+    # random weights emit sub-32 tokens that detokenize to spaces and are
+    # stripped (reference behavior: empty/NaN rows dropped), so counts are
+    # <= prompts x samples but always consistent across the four lists
+    n = len(prompts)
+    assert len(seqs) == len(scores) == len(ids) == n
+    assert 0 < n <= 4
+    assert set(prompts) <= {'ACGT', 'TTAA'}
+    assert all(len(s) <= 8 for s in seqs)
+    assert len(set(ids)) == n
+    with open(out_csv) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ['UUID', 'Prompt', 'Generated Sequence', 'Score']
+    assert len(rows) == n + 1
+
+
+def test_run_model_single_prompt(tiny_model):
+    model, tokenizer = tiny_model
+    seq, score = sd.run_model('ACGTACGT', model, tokenizer, n_tokens=4,
+                              temp=0.0, top_k=1, batched=False)
+    assert isinstance(seq, str) and len(seq) == 4
+    assert isinstance(score, float)
+
+
+# ---------------------------------------------------------------------------
+# Subprocess wrappers against stub executables
+# ---------------------------------------------------------------------------
+
+def _make_stub(tmp_path, name, script):
+    path = tmp_path / name
+    path.write_text('#!/bin/bash\n' + textwrap.dedent(script))
+    path.chmod(path.stat().st_mode | stat.S_IEXEC)
+    return str(path)
+
+
+def test_run_prodigal_invokes_binary(tmp_path):
+    stub = _make_stub(tmp_path, 'prodigal', '''
+        # args: -i in -a prot -d orf -p meta
+        while [[ $# -gt 0 ]]; do
+          case $1 in
+            -a) PROT=$2; shift 2;;
+            -d) ORF=$2; shift 2;;
+            *) shift;;
+          esac
+        done
+        echo ">g1_1 # 1 # 99 # 1 # partial=00" > $PROT
+        echo "MKVLAETSYRQWIDNPHGFCEK" >> $PROT
+        echo ">g1_1" > $ORF
+        echo "ATGACGT" >> $ORF
+        ''')
+    fasta_in = tmp_path / 'in.fasta'
+    write_fasta(str(fasta_in), ['g1'], ['ACGTACGT'])
+    prot, orf = tmp_path / 'p.fasta', tmp_path / 'o.fasta'
+    sd.run_prodigal(str(fasta_in), str(prot), str(orf), prodigal_path=stub)
+    names, seqs = read_fasta(str(prot))
+    assert seqs == ['MKVLAETSYRQWIDNPHGFCEK']
+
+
+def test_filter_protein_fasta_with_stub_segmasker(tmp_path):
+    # stub segmasker: echoes the input sequence unmasked (0% masked)
+    stub = _make_stub(tmp_path, 'segmasker', '''
+        while [[ $# -gt 0 ]]; do
+          case $1 in
+            -in) IN=$2; shift 2;;
+            *) shift;;
+          esac
+        done
+        cat $IN
+        ''')
+    fasta_in = tmp_path / 'prot.fasta'
+    good = 'MKVLAETSYRQWIDNPHGFCEKLMRVSTAYQPWHIDNGKE'
+    write_fasta(str(fasta_in),
+                ['a # partial=00', 'b # partial=10', 'c # partial=00'],
+                [good, good, 'AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA'])
+    out = tmp_path / 'filtered.fasta'
+    n = sd.filter_protein_fasta(str(fasta_in), str(out), stub,
+                                min_length=10, max_length=100,
+                                filter_partial_bool=True,
+                                segmasker_threshold=0.2)
+    assert n == 1                      # only 'a': complete + complex enough
+    names, seqs = read_fasta(str(out))
+    assert names[0].startswith('a')
+
+
+def test_pairwise_identity():
+    assert sd._pairwise_identity('ABCD', 'ABCD') == 1.0
+    assert sd._pairwise_identity('AB-D', 'ABCD') == 1.0  # gap columns skipped
+    assert sd._pairwise_identity('ABXD', 'ABCD') == 0.75
