@@ -112,9 +112,9 @@ def bench_decode(cfg, batch: int, prompt_len: int, steps: int = 64):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--preset', default='prefill8k',
-                    choices=['prefill8k', 'decode', 'tiny'])
+                    choices=['prefill8k', 'prefill131k', 'decode', 'tiny'])
     ap.add_argument('--batch', type=int, default=1)
-    ap.add_argument('--length', type=int, default=8192)
+    ap.add_argument('--length', type=int, default=None)
     args = ap.parse_args()
 
     from evo_tpu.models import config_for_model
@@ -125,9 +125,13 @@ def main():
         cfg = tiny_config(max_sequence_len=2048)
         batch, length = 2, 512
         name = 'tiny'
+    elif args.preset == 'prefill131k':
+        cfg = config_for_model('evo-1-131k-base')
+        batch, length = args.batch, args.length or 131072
+        name = 'evo-1-131k-base-7b'
     else:
         cfg = config_for_model('evo-1-8k-base')
-        batch, length = args.batch, args.length
+        batch, length = args.batch, args.length or 8192
         name = 'evo-1-8k-base-7b'
 
     if args.preset == 'decode':

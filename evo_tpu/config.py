@@ -87,6 +87,11 @@ class ModelConfig:
     state_prefill_chunk: int = 128
     # Rematerialize each block on the backward pass (training / grads).
     remat: bool = False
+    # Chunked long-conv: sequences longer than this run the Hyena conv as a
+    # scan of chunk-local FFTs + modal state carry (bounds FFT memory to
+    # O(chunk) — required for 131k context on 16 GB chips). 0 = always
+    # monolithic FFT.
+    hyena_fft_chunk: int = 0
 
     def __post_init__(self):
         # tuples so the config is hashable (required for static jit args)

@@ -71,19 +71,28 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     if state is not None:
         raise NotImplementedError(
             'segment-continued long conv lands with chunked prefill')
-    h = fftconv.materialize_filter(p['poles'], p['residues'], L)
-    # Tie the (input-independent) filter to this layer's activations so XLA
-    # cannot hoist all 29 layers' (C, L) filters to program start — at 7B/8k
-    # that is ~4 GB of simultaneously-live filter buffers (OOM on v5e).
-    h, u = jax.lax.optimization_barrier((h, u))
-    y = fftconv.fft_causal_conv(u, h, mesh=mesh) + \
-        p['d_skip'].astype(jnp.float32)[None, :, None] * u.astype(jnp.float32)
+    chunked = (cfg.hyena_fft_chunk and L > cfg.hyena_fft_chunk)
+    if chunked:
+        y, iir = fftconv.fft_causal_conv_chunked(
+            u, p['poles'], p['residues'], cfg.hyena_fft_chunk, mesh=mesh)
+    else:
+        h = fftconv.materialize_filter(p['poles'], p['residues'], L)
+        # Tie the (input-independent) filter to this layer's activations so
+        # XLA cannot hoist all 29 layers' (C, L) filters to program start —
+        # at 7B/8k that is ~4 GB of simultaneously-live filter buffers
+        # (OOM on v5e).
+        h, u = jax.lax.optimization_barrier((h, u))
+        y = fftconv.fft_causal_conv(u, h, mesh=mesh)
+        iir = None
+    y = y + p['d_skip'].astype(jnp.float32)[None, :, None] * \
+        u.astype(jnp.float32)
     y = x2 * y.astype(x.dtype)
     out = _out_proj(p, jnp.swapaxes(y, 1, 2))
     new_state = None
     if collect_state:
-        iir = fftconv.modal_prefill_state(u, p['poles'],
-                                          cfg.state_prefill_chunk)
+        if iir is None:
+            iir = fftconv.modal_prefill_state(u, p['poles'],
+                                              cfg.state_prefill_chunk)
         new_state = HyenaState(fir=fir_state, iir=iir)
     return out, new_state
 

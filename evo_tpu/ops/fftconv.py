@@ -105,6 +105,100 @@ def fft_causal_conv(u: jax.Array, h: jax.Array, mesh=None) -> jax.Array:
     return conv(u, h)
 
 
+def fft_causal_conv_chunked(u: jax.Array, poles: jax.Array,
+                            residues: jax.Array, chunk: int,
+                            state: jax.Array | None = None,
+                            mesh=None):
+    """Chunked causal conv with the modal filter: O(L*chunk) memory.
+
+    Exact block decomposition of the L-long implicit-filter convolution
+    using the filter's state-space form (the same math that powers O(1)
+    decode): within a chunk of length C the output is a *local* FFT conv
+    with the first C filter taps, plus the incoming recurrent state decayed
+    through the chunk:
+
+        y_i[t] = (h[0:C] * u_i)[t] + Re( sum_s R_s p_s^(t+1) state_{i-1,s} )
+        state_i = p^C state_{i-1} + sum_j p^(C-1-j) u_i[j]
+
+    This bounds FFT buffers to (B, D, 2C) instead of (B, D, 2L) — the
+    memory path to 131k-context prefill on a 16 GB chip (SURVEY.md §7 hard
+    part #3). Returns (y (B, D, L) float32, state (B, D, S, 2) float32
+    after the last chunk) so segments can be streamed.
+
+    u: (B, D, L); poles/residues: (D, S, 2) float32. L is right-padded to a
+    multiple of `chunk` internally (zeros don't perturb the state).
+    """
+    B, D, L = u.shape
+    S = poles.shape[1]
+    C = min(chunk, L)
+    pad = (-L) % C
+    if state is not None and pad:
+        raise ValueError(
+            'segment continuation (state != None) requires L to be a '
+            f'multiple of chunk (L={L}, chunk={C}): left-padding would '
+            'mis-align the incoming state decay')
+    u32 = u.astype(jnp.float32)
+    if pad:
+        # LEFT-pad: leading zeros convolve to zero (outputs unchanged after
+        # slicing) and inject nothing into the state, so the returned state
+        # is exactly the state at position L
+        u32 = jnp.concatenate(
+            [jnp.zeros((B, D, pad), jnp.float32), u32], axis=-1)
+    K = (L + pad) // C
+
+    logmag, theta = _pole_log(poles.astype(jnp.float32))
+    rr, ri = residues[..., 0], residues[..., 1]
+
+    # first C filter taps (shared by every chunk)
+    h_local = materialize_filter(poles, residues, C)          # (D, C)
+
+    # p^(t+1) for t in [0, C): decay applied to the incoming state
+    t1 = jnp.arange(1, C + 1, dtype=jnp.float32)[None, None, :]  # (1,1,C)
+    dec_mag = jnp.exp(t1 * logmag[..., None])                  # (D, S, C)
+    dec_r = dec_mag * jnp.cos(t1 * theta[..., None])
+    dec_i = dec_mag * jnp.sin(t1 * theta[..., None])
+    # Re(R p^(t+1)) tabulated: (D, S, C) -> contribution = state . table
+    tab_r = rr[..., None] * dec_r - ri[..., None] * dec_i      # (D, S, C)
+    tab_i = rr[..., None] * dec_i + ri[..., None] * dec_r
+
+    # state-injection tables (as in modal_prefill_state)
+    e = jnp.arange(C - 1, -1, -1, dtype=jnp.float32)[None, None, :]
+    pw_mag = jnp.exp(e * logmag[..., None])
+    pw_r = pw_mag * jnp.cos(e * theta[..., None])
+    pw_i = pw_mag * jnp.sin(e * theta[..., None])
+    pc_mag = jnp.exp(C * logmag)
+    pc_r = pc_mag * jnp.cos(C * theta)
+    pc_i = pc_mag * jnp.sin(C * theta)
+
+    if state is None:
+        sr0 = jnp.zeros((B, D, S), jnp.float32)
+        si0 = jnp.zeros((B, D, S), jnp.float32)
+    else:
+        sr0, si0 = state[..., 0], state[..., 1]
+
+    chunks = jnp.moveaxis(u32.reshape(B, D, K, C), 2, 0)       # (K, B, D, C)
+
+    def body(carry, uc):
+        sr, si = carry                                          # (B, D, S)
+        y_local = fft_causal_conv(uc, h_local, mesh=mesh)       # (B, D, C)
+        # incoming-state tail: Re(sum_s state_s * R p^(t+1))
+        y_state = (jnp.einsum('bds,dsc->bdc', sr, tab_r,
+                              preferred_element_type=jnp.float32)
+                   - jnp.einsum('bds,dsc->bdc', si, tab_i,
+                                preferred_element_type=jnp.float32))
+        inj_r = jnp.einsum('bdc,dsc->bds', uc, pw_r,
+                           preferred_element_type=jnp.float32)
+        inj_i = jnp.einsum('bdc,dsc->bds', uc, pw_i,
+                           preferred_element_type=jnp.float32)
+        nsr = pc_r[None] * sr - pc_i[None] * si + inj_r
+        nsi = pc_i[None] * sr + pc_r[None] * si + inj_i
+        return (nsr, nsi), y_local + y_state
+
+    (sr, si), ys = jax.lax.scan(body, (sr0, si0), chunks)
+    y = jnp.moveaxis(ys, 0, 2).reshape(B, D, L + pad)[..., pad:]
+    return y, jnp.stack([sr, si], axis=-1)
+
+
 def direct_causal_conv(u: jax.Array, h: jax.Array) -> jax.Array:
     """O(L^2) reference oracle for tests: same contract as fft_causal_conv."""
     L = u.shape[-1]

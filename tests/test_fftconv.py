@@ -112,3 +112,52 @@ def test_fir_conv_segment_continuation():
     np.testing.assert_allclose(
         np.asarray(jnp.concatenate([y1, y2], axis=-1)), np.asarray(y_full),
         rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('L,chunk', [(48, 16), (37, 16), (64, 64), (20, 8)])
+def test_chunked_conv_matches_monolithic(L, chunk):
+    """Chunk-local FFT + modal state carry == one full-length FFT conv."""
+    D, S, B = 6, 4, 2
+    poles, residues = _random_modal(jax.random.PRNGKey(20), D, S)
+    u = jax.random.normal(jax.random.PRNGKey(21), (B, D, L), jnp.float32)
+    h = fftconv.materialize_filter(poles, residues, L)
+    want = fftconv.fft_causal_conv(u, h)
+    got, state = fftconv.fft_causal_conv_chunked(u, poles, residues, chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # final state must equal the chunked-prefill state at position L
+    want_state = fftconv.modal_prefill_state(u, poles, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(state), np.asarray(want_state),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_chunked_conv_segment_continuation():
+    """Two chunked calls with carried state == one call over the full seq."""
+    D, S, B, chunk = 4, 3, 1, 8
+    poles, residues = _random_modal(jax.random.PRNGKey(22), D, S)
+    u = jax.random.normal(jax.random.PRNGKey(23), (B, D, 32), jnp.float32)
+    full, _ = fftconv.fft_causal_conv_chunked(u, poles, residues, chunk)
+    y1, s1 = fftconv.fft_causal_conv_chunked(u[..., :16], poles, residues,
+                                             chunk)
+    y2, _ = fftconv.fft_causal_conv_chunked(u[..., 16:], poles, residues,
+                                            chunk, state=s1)
+    got = jnp.concatenate([y1, y2], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_conv_decode_handoff():
+    """State from the chunked conv continues correctly into modal_step."""
+    D, S, B, L = 4, 3, 1, 24
+    poles, residues = _random_modal(jax.random.PRNGKey(24), D, S)
+    d_skip = jax.random.normal(jax.random.PRNGKey(25), (D,), jnp.float32)
+    u = jax.random.normal(jax.random.PRNGKey(26), (B, D, L + 1), jnp.float32)
+    # oracle: full conv over L+1 samples
+    h = fftconv.materialize_filter(poles, residues, L + 1)
+    want = fftconv.fft_causal_conv(u, h) + d_skip[None, :, None] * u
+    # chunked prefill over L, then one modal step
+    _, state = fftconv.fft_causal_conv_chunked(u[..., :L], poles, residues,
+                                               chunk=8)
+    y_t, _ = fftconv.modal_step(u[..., L], poles, residues, d_skip, state)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(want[..., -1]),
+                               rtol=1e-3, atol=1e-4)

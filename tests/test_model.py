@@ -110,3 +110,33 @@ def test_param_count_7b_schema():
     total = V * D + n_attn * per_attn + n_hyena * per_hyena + \
         cfg.num_layers * per_mlp + norms
     assert 6.0e9 < total < 8.0e9
+
+
+def test_chunked_conv_config_matches_monolithic(setup):
+    """cfg.hyena_fft_chunk must not change forward logits (131k memory
+    path, SURVEY.md §7 hard part #3)."""
+    cfg, params = setup
+    ids = jax.random.randint(jax.random.PRNGKey(9), (2, 21), 0, 512)
+    want = model_lib.forward(params, cfg, ids)
+    got = model_lib.forward(params, cfg.replace(hyena_fft_chunk=8), ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_prefill_decode_handoff(setup):
+    """Prefill through the chunked-conv path, then decode: logits must
+    match the full forward at each decoded position."""
+    cfg, params = setup
+    cfg = cfg.replace(hyena_fft_chunk=8)
+    total, split = 20, 13
+    ids = jax.random.randint(jax.random.PRNGKey(10), (1, total), 0, 512)
+    full = model_lib.forward(params, cfg, ids)
+    cache = model_lib.init_cache(cfg, 1, total + 2)
+    lg, cache = model_lib.prefill(params, cfg, ids[:, :split], cache)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(full[:, :split]),
+                               rtol=2e-4, atol=2e-4)
+    last = lg[:, -1]
+    for t in range(split, total):
+        last, cache = model_lib.decode_step(params, cfg, ids[:, t], cache)
+        np.testing.assert_allclose(np.asarray(last), np.asarray(full[:, t]),
+                                   rtol=2e-3, atol=2e-3)
