@@ -1,0 +1,234 @@
+"""phage_gen filtering-pipeline tests: nucleotide/ORF filter primitives,
+pseudo-circularization, the global-alignment identity, GFF/GBK writers, and
+an end-to-end qc1+qc2 run from a synthetic FASTA (no external binaries)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from evo_tpu.io.fasta import write_fasta
+from phage_gen.pipelines import genome_design_filtering_pipeline as gp
+
+
+def _df(seqs, ids=None):
+    ids = ids or [f's{i}' for i in range(len(seqs))]
+    return pd.DataFrame({'id_prompt': ids, 'sequence': seqs})
+
+
+# ---------------------------------------------------------------------------
+# qc2 primitives
+# ---------------------------------------------------------------------------
+
+def test_valid_nt_chars():
+    df = _df(['ACGT', 'ACGN', 'acgt'])
+    out = gp.valid_nt_chars(df)
+    assert list(out['sequence']) == ['ACGT', 'acgt']
+
+
+def test_valid_genome_len_and_gc():
+    df = _df(['ACGT' * 10, 'AT' * 10, 'GC' * 30])
+    out = gp.valid_genome_len(df, [30, 100])
+    assert list(out['id_prompt']) == ['s0', 's2']
+    out2 = gp.valid_gc_content(out, [40, 60])
+    assert list(out2['id_prompt']) == ['s0']
+    assert out2['gc_content'].iloc[0] == 50.0
+
+
+def test_homopolymer_lengths():
+    assert gp.calculate_nt_homopolymer_len('ACGTTTTTG') == 5
+    assert gp.calculate_aa_homopolymer_len('MKKKKVLLL') == 4
+    df = _df(['ACGTACGT', 'AAAAAACG'])
+    out = gp.valid_nt_homopolymer_len(df, [0, 3])
+    assert list(out['id_prompt']) == ['s0']
+
+
+def test_tud_and_dinucleotide():
+    seq = 'GATC' * 50
+    freqs = gp.calculate_dinucleotide_freqs(seq)
+    assert abs(sum(freqs.values()) - 1.0) < 1e-9
+    assert gp.calculate_tud(seq, 'GATC') > 0
+    with pytest.raises(ValueError):
+        gp.calculate_tud(seq, 'GAT')
+
+
+# ---------------------------------------------------------------------------
+# qc3 primitives (synthetic prodigal output)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def prodigal_files(tmp_path):
+    orfs = tmp_path / 'orfs.fasta'
+    prots = tmp_path / 'prots.fasta'
+    # prodigal header format: >id_N # start # end # strand # meta
+    write_fasta(str(orfs),
+                ['g1_1 # 1 # 300 # 1 # x', 'g1_2 # 400 # 699 # 1 # x',
+                 'g2_1 # 1 # 90 # 1 # x'],
+                ['ATG' * 100, 'ATG' * 100, 'ATG' * 30])
+    write_fasta(str(prots),
+                ['g1_1 # 1 # 300 # 1 # x', 'g1_2 # 400 # 699 # 1 # x',
+                 'g2_1 # 1 # 90 # 1 # x'],
+                ['MKVL' * 25, 'MKVL' * 25, 'MKKKKKKKKL'])
+    return str(orfs), str(prots)
+
+
+def test_orf_counts_and_lengths(prodigal_files):
+    orfs, prots = prodigal_files
+    seqs = gp.valid_genome_len(_df(['A' * 1000, 'A' * 1000],
+                                   ['g1', 'g2']), [0, 2000])
+    out = gp.valid_orf_count(orfs, (2, 10), seqs)
+    assert list(out['id_prompt']) == ['g1']
+    out2 = gp.valid_orf_lengths(orfs, (100, 400), out)
+    assert list(out2['id_prompt']) == ['g1']      # both ORFs 300 nt
+    out3 = gp.valid_coding_density(out2, (0, 100))
+    assert abs(out3['coding_density'].iloc[0] - 60.0) < 1e-9
+
+
+def test_aa_homopolymer_filter(prodigal_files):
+    orfs, prots = prodigal_files
+    seqs = _df(['A' * 100, 'A' * 100], ['g1', 'g2'])
+    out = gp.valid_aa_homopolymer_len(prots, (0, 3), seqs)
+    assert list(out['id_prompt']) == ['g1']       # g2 has KKKKKKKK
+
+
+# ---------------------------------------------------------------------------
+# qc4 primitives
+# ---------------------------------------------------------------------------
+
+def test_pseudo_circularization(tmp_path):
+    fin, fout = tmp_path / 'in.fasta', tmp_path / 'out.fasta'
+    # TAA at frame 0 positions 3-5: first in-frame stop ends at 6
+    write_fasta(str(fin), ['g'], ['ATGTAACCCGGG'])
+    gp.append_upstream_of_last_frame_stop(str(fin), str(fout))
+    from evo_tpu.io.fasta import read_fasta
+    _, seqs = read_fasta(str(fout))
+    assert seqs[0].startswith('ATGTAACCCGGG')
+    assert len(seqs[0]) > len('ATGTAACCCGGG')
+    assert seqs[0][len('ATGTAACCCGGG'):] == \
+        'ATGTAACCCGGG'[:len(seqs[0]) - len('ATGTAACCCGGG')]
+
+
+def test_needleman_wunsch_identity():
+    assert gp._needleman_wunsch_identity('ACGT', 'ACGT') == 100.0
+    assert gp._needleman_wunsch_identity('ACGT', 'ACGA') == 75.0
+    # indel: identity computed over aligned (non-gap) columns
+    ident = gp._needleman_wunsch_identity('ACGTACGT', 'ACGACGT')
+    assert 85.0 < ident <= 100.0
+
+
+def test_protein_database_hit_count():
+    hits = pd.DataFrame({'id_prompt': [
+        'g1_ORF.1', 'g1_ORF.2', 'g1_ORF.3', 'g2_ORF.1']})
+    seqs = _df(['A', 'A'], ['g1', 'g2'])
+    out = gp.valid_protein_database_hit_count(hits, seqs, 'id_prompt',
+                                              min_hits=2)
+    assert list(out['id_prompt']) == ['g1']
+    assert out['protein_database_hit_count'].iloc[0] == 3
+
+
+# ---------------------------------------------------------------------------
+# qc6 GFF/GBK
+# ---------------------------------------------------------------------------
+
+def test_gff_and_gbk_roundtrip(tmp_path):
+    orf_data = {'genome_0': [
+        {'seq_id': 'genome_0', 'feature_type': 'CDS', 'start': 1,
+         'end': 9, 'score': '.', 'strand': '+', 'phase': '0',
+         'attributes': 'ID=ORF.1;function=head;product=major capsid;'
+                       'seq=MKV;percent_identity=88.5'},
+        {'seq_id': 'genome_0', 'feature_type': 'region', 'start': 1,
+         'end': 12, 'score': '.', 'strand': '+', 'phase': '.',
+         'attributes': 'ID=genome_0;length=12'},
+    ]}
+    gp.create_gff_file(orf_data, 'umi1', 'genome_0', 'ATGAAAGTTTGA',
+                       str(tmp_path))
+    gff = tmp_path / 'genome_0.gff'
+    assert gff.exists()
+    gp.convert_gff_to_gbk(str(gff), str(tmp_path / 'genome_0.gbk'))
+    gbk_text = (tmp_path / 'genome_0.gbk').read_text()
+    assert 'LOCUS' in gbk_text and 'major capsid' in gbk_text
+    assert 'atgaaagttt' in gbk_text
+
+    # stats readers
+    results_csv = tmp_path / 'r.csv'
+    pd.DataFrame({'id_prompt': ['umi1']}).to_csv(results_csv, index=False)
+    gp.calculate_average_protein_percent_identity(
+        str(tmp_path), str(results_csv), str(results_csv))
+    gp.count_total_num_genes(str(tmp_path), str(results_csv))
+    out = pd.read_csv(results_csv)
+    assert out['average_protein_percent_identity'].iloc[0] == 88.5
+    assert out['total_num_genes'].iloc[0] == 1
+
+
+# ---------------------------------------------------------------------------
+# End-to-end qc1+qc2 (no external binaries)
+# ---------------------------------------------------------------------------
+
+def test_pipeline_qc1_qc2(tmp_path):
+    fasta = tmp_path / 'gen.fasta'
+    good = ('ATGC' * 300)
+    with open(fasta, 'w') as f:
+        f.write(f'>seq one\n{good}\n')                 # valid
+        f.write(f'>seq two\n{good} TRAILINGJUNK\n')    # EOS-trimmed valid
+        f.write(f'>seq three\nACGTNNNN\n')             # bad chars + short
+    config = {
+        'results_save_dir': str(tmp_path / 'results'),
+        'evo_gen_seqs_fasta_file_save_location': str(fasta),
+        'keep_only_up_to_first_eos': True,
+        'overwrite_sequence_ids': True,
+        'remove_prompt': False, 'prompt_to_remove': '',
+        'prepend_prompt': False, 'prompt': '',
+        'initialized_seqs_csv_file_save_location': 'qc1_initial_seqs.csv',
+        'initialized_seqs_fasta_file_save_location':
+            'qc1_initial_seqs.fasta',
+        'nucleotide_filtering': True,
+        'nucleotide_character_filter': True,
+        'genome_length_filter': True,
+        'genome_length_range': [1000, 2000],
+        'gc_content_filter': True, 'gc_content_range': [30, 65],
+        'nucleotide_homopolymer_filter': True,
+        'nucleotide_homopolymer_length_range': [0, 10],
+        'dinucleotide_frequency_filter': False,
+        'dinucleotide_frequency_range': [0, 20],
+        'tud_filter': False, 'tetranucleotide': 'GATC',
+        'tud_range': [0, 0.1],
+        'nucleotide_filter_counts_file_save_location':
+            'qc2_nt_filter_counts.csv',
+        'nucleotide_filter_seqs_csv_file_save_location':
+            'qc2_nt_filter_seqs.csv',
+        'nucleotide_filter_seqs_fasta_file_save_location':
+            'qc2_nt_filter_seqs.fasta',
+        'orf_filtering': False,
+        'homology_filtering': False,
+        'diversification_filtering': False,
+        'genetic_architecture_visualization_and_synteny_filtering': False,
+    }
+    cfg_path = tmp_path / 'config.yaml'
+    cfg_path.write_text(yaml.safe_dump(config))
+    gp.main(str(cfg_path))
+
+    results = tmp_path / 'results'
+    counts = pd.read_csv(results / 'qc2_nt_filter_counts.csv')
+    assert counts['count_initial_before_nucleotide_metrics'].iloc[0] == 3
+    assert counts['count_nt_filter'].iloc[0] == 2       # EOS trim saves #2
+    assert counts['count_genome_len_filter'].iloc[0] == 2
+    seqs = pd.read_csv(results / 'qc2_nt_filter_seqs.csv')
+    assert list(seqs['id_prompt']) == ['umi1', 'umi2']
+    assert (results / 'qc2_nt_filter_seqs.fasta').exists()
+
+
+def test_shannon_from_cluster_tsv(tmp_path):
+    from phage_gen.analysis.shannon_diversity_analysis import (
+        shannon_from_cluster_tsv)
+    tsv = tmp_path / 'clusters.tsv'
+    # 2 clusters: rep a x3, rep b x1 -> H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+    tsv.write_text('a\ta\na\tb\na\tc\nd\td\n')
+    ncl, hnat, hbit = shannon_from_cluster_tsv(tsv)
+    import math
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert ncl == 2
+    assert abs(hnat - want) < 1e-9
+    assert abs(hbit - want / math.log(2)) < 1e-9
