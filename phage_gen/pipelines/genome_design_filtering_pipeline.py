@@ -473,58 +473,10 @@ def valid_mmseqs_pident(mmseqs_df, descriptive_prefix: str, pident_range,
 
 def _needleman_wunsch_identity(a: str, b: str, match: int = 1,
                                mismatch: int = -1, gap: int = -2) -> float:
-    """Global-alignment percent identity (matches / alignment columns with
-    both residues), vectorized over anti-diagonal-free row DP."""
-    n, m = len(a), len(b)
-    av = np.frombuffer(a.encode(), dtype=np.uint8)
-    bv = np.frombuffer(b.encode(), dtype=np.uint8)
-    NEG = -10 ** 9
-    prev = np.arange(0, -(m + 1), -1) * -gap * -1  # 0, gap, 2*gap...
-    prev = (np.arange(m + 1) * gap).astype(np.int32)
-    # traceback bitmasks: 0=diag, 1=up, 2=left
-    tb = np.zeros((n + 1, m + 1), dtype=np.int8)
-    tb[0, 1:] = 2
-    for i in range(1, n + 1):
-        cur = np.empty(m + 1, dtype=np.int32)
-        cur[0] = i * gap
-        sub = np.where(bv == av[i - 1], match, mismatch).astype(np.int32)
-        diag = prev[:-1] + sub
-        up = prev[1:] + gap
-        # left requires a sequential scan: do numpy cummax trick
-        best_du = np.maximum(diag, up)
-        # cur[j] = max(best_du[j-1], cur[j-1] + gap)
-        shifted = best_du + np.arange(1, m + 1) * (-gap)
-        run_max = np.maximum.accumulate(
-            np.concatenate(([cur[0] - gap * 0 + 0], shifted[:-1] + gap)))
-        # simpler correct scalar fallback for moderate lengths:
-        c_prev = cur[0]
-        for j in range(1, m + 1):
-            val = best_du[j - 1]
-            left = c_prev + gap
-            if left > val:
-                cur[j] = left
-                tb[i, j] = 2
-            else:
-                cur[j] = val
-                tb[i, j] = 0 if diag[j - 1] >= up[j - 1] else 1
-            c_prev = cur[j]
-        prev = cur
-    # traceback
-    i, j = n, m
-    matches = cols = 0
-    while i > 0 or j > 0:
-        move = tb[i, j] if (i > 0 and j > 0) else (1 if i > 0 else 2)
-        if move == 0:
-            cols += 1
-            if a[i - 1] == b[j - 1]:
-                matches += 1
-            i -= 1
-            j -= 1
-        elif move == 1:
-            i -= 1
-        else:
-            j -= 1
-    return matches / cols * 100 if cols else 0.0
+    """Global-alignment percent identity (vectorized NW; see
+    phage_gen.analysis.alignment)."""
+    from phage_gen.analysis.alignment import percent_identity
+    return percent_identity(a, b, match=match, mismatch=mismatch, gap=gap)
 
 
 def calculate_pident_to_ref(query_sequence: str,
