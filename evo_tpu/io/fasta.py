@@ -43,7 +43,18 @@ def iter_fasta(path_or_handle) -> Iterator[Tuple[str, str]]:
 
 
 def read_fasta(path) -> Tuple[List[str], List[str]]:
-    """Return (names, seqs) lists, in file order."""
+    """Return (names, seqs) lists, in file order.
+
+    Uses the native scanner (evo_tpu.io.fastio) when available — one C++
+    pass over the buffer, important for genome-scale files — with the
+    Python parser as fallback and semantics oracle.
+    """
+    try:
+        from evo_tpu.io import fastio
+        if fastio.available():
+            return fastio.read_fasta_fast(os.fspath(path))
+    except Exception:          # noqa: BLE001 — fall back on any native issue
+        pass
     names, seqs = [], []
     for n, s in iter_fasta(path):
         names.append(n)
