@@ -109,10 +109,43 @@ def bench_decode(cfg, batch: int, prompt_len: int, steps: int = 64):
     return batch * steps / dt
 
 
+def bench_generate(cfg, batch: int, prompt_len: int = 128,
+                   n_tokens: int = 256):
+    """Fused-scan generation (the production decode path): one XLA program
+    for prefill + decode + sampling; returns decode tokens/s."""
+    from evo_tpu import model as model_lib
+    from evo_tpu.generation import _generate_program
+
+    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (batch, prompt_len)),
+        jnp.int32)
+    forced = prompt[:, :0]
+    rng = jax.random.PRNGKey(0)
+
+    def run():
+        cache = model_lib.init_cache(cfg, batch, prompt_len + n_tokens + 1)
+        gen, _, _ = _generate_program(
+            params, prompt, forced, cache, rng, cfg=cfg,
+            num_tokens=n_tokens, num_forced=0, top_k=4, top_p=1.0,
+            temperature=1.0)
+        return float(jnp.sum(gen))      # host readback = sync
+
+    run()                               # compile + warmup
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return batch * n_tokens / min(times)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--preset', default='prefill8k',
-                    choices=['prefill8k', 'prefill131k', 'decode', 'tiny'])
+                    choices=['prefill8k', 'prefill131k', 'decode',
+                             'generate', 'tiny'])
     ap.add_argument('--batch', type=int, default=1)
     ap.add_argument('--length', type=int, default=None)
     args = ap.parse_args()
@@ -137,6 +170,9 @@ def main():
     if args.preset == 'decode':
         tps = bench_decode(cfg, batch, prompt_len=128, steps=64)
         metric = f'decode_tokens_per_sec_per_chip_{name}'
+    elif args.preset == 'generate':
+        tps = bench_generate(cfg, batch)
+        metric = f'generate_tokens_per_sec_per_chip_{name}'
     else:
         tps = bench_prefill(cfg, batch, length)
         metric = f'prefill_tokens_per_sec_per_chip_{name}'

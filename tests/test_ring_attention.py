@@ -1,0 +1,45 @@
+"""Ring attention vs the naive causal SDPA oracle on the 8-virtual-device
+CPU mesh (context-parallel correctness, SURVEY.md §4 prescription #4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evo_tpu.layers.attention import sdpa_causal
+from evo_tpu.ops.ring_attention import ring_attention
+from evo_tpu.parallel.mesh import make_mesh
+
+
+@pytest.mark.parametrize('dp,tp,B,L', [(1, 8, 2, 64), (2, 4, 2, 64),
+                                       (1, 4, 1, 128)])
+def test_ring_matches_naive(dp, tp, B, L):
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[:dp * tp])
+    H, Dh = 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, L, H, Dh), jnp.float32)
+    k = jax.random.normal(ks[1], (B, L, H, Dh), jnp.float32)
+    v = jax.random.normal(ks[2], (B, L, H, Dh), jnp.float32)
+    want = sdpa_causal(q, k, v)
+    got = ring_attention(q, k, v, mesh, axis_name='tp', batch_axis='dp')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_rejects_ragged_length():
+    mesh = make_mesh(dp=1, tp=8)
+    x = jnp.zeros((1, 60, 2, 8))
+    with pytest.raises(ValueError, match='not divisible'):
+        ring_attention(x, x, x, mesh)
+
+
+def test_ring_under_jit():
+    mesh = make_mesh(dp=1, tp=8)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (1, 64, 2, 16), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 64, 2, 16), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 64, 2, 16), jnp.float32)
+    fn = jax.jit(lambda a, b, c: ring_attention(a, b, c, mesh))
+    np.testing.assert_allclose(np.asarray(fn(q, k, v)),
+                               np.asarray(sdpa_causal(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
