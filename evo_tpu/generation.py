@@ -47,18 +47,20 @@ from evo_tpu.tokenizer import CharLevelTokenizer
 @functools.partial(
     jax.jit,
     static_argnames=('cfg', 'num_tokens', 'num_forced', 'top_k', 'top_p',
-                     'temperature'),
+                     'temperature', 'resume'),
     donate_argnames=('cache',))
 def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
                       cfg: ModelConfig, num_tokens: int, num_forced: int,
-                      top_k: int, top_p: float, temperature: float):
+                      top_k: int, top_p: float, temperature: float,
+                      resume: bool = False):
     """prompt_ids: (B, P); forced_ids: (B, num_forced) (may be (B, 0)).
 
     Returns (generation (B, num_tokens), scores (B, num_tokens, V), cache).
     `scores` are the raw float32 logits at each emitted step (reference
     contract, `evo/generation.py:97-103, 183`).
     """
-    logits_pre, cache = model_lib.prefill(params, cfg, prompt_ids, cache)
+    logits_pre, cache = model_lib.prefill(params, cfg, prompt_ids, cache,
+                                          resume=resume)
     last = logits_pre[:, -1]
     total = num_forced + num_tokens
 
@@ -88,6 +90,31 @@ def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
     generation = jnp.swapaxes(toks, 0, 1)[:, num_forced:]
     scores = jnp.swapaxes(score_logits, 0, 1)[:, num_forced:]
     return generation, scores, cache
+
+
+def _grow_cache(cache, cfg: ModelConfig, needed_len: int):
+    """Extend KV time buffers so a resumed generation fits.
+
+    FIR/modal Hyena state is O(1) in sequence length, so only the
+    attention K/V buffers grow (host-side pad; outside jit)."""
+    current = None
+    for layer in cache['layers']:
+        if isinstance(layer, dict) and 'k' in layer:
+            current = layer['k'].shape[1]
+            break
+    if current is None or current >= needed_len:
+        return cache
+    pad = needed_len - current
+    new_layers = []
+    for layer in cache['layers']:
+        if isinstance(layer, dict) and 'k' in layer:
+            new_layers.append({
+                'k': jnp.pad(layer['k'], ((0, 0), (0, pad), (0, 0), (0, 0))),
+                'v': jnp.pad(layer['v'], ((0, 0), (0, pad), (0, 0), (0, 0))),
+            })
+        else:
+            new_layers.append(layer)
+    return {'offset': cache['offset'], 'layers': new_layers}
 
 
 class Generator:
@@ -150,13 +177,17 @@ class Generator:
             prompt = x
         num_forced = int(forced.shape[1])
 
-        if inference_params_dict is not None:
-            raise NotImplementedError(
-                'cache resume lands with segment-continued prefill '
-                '(round 2); fresh-cache generation is supported')
         cfg: ModelConfig = self.model.config
-        max_len = int(prompt.shape[1]) + num_forced + int(num_tokens)
-        cache = self.model.initialize_inference_params(B, max_len)
+        resume = inference_params_dict is not None
+        if resume:
+            cache = inference_params_dict
+            offset = int(np.asarray(cache['offset']))
+            needed = offset + int(prompt.shape[1]) + num_forced \
+                + int(num_tokens)
+            cache = _grow_cache(cache, cfg, needed)
+        else:
+            max_len = int(prompt.shape[1]) + num_forced + int(num_tokens)
+            cache = self.model.initialize_inference_params(B, max_len)
 
         if rng is None:
             rng = jax.random.PRNGKey(seed)
@@ -164,7 +195,7 @@ class Generator:
             self.model.params, prompt, forced, cache, rng,
             cfg=cfg, num_tokens=int(num_tokens), num_forced=num_forced,
             top_k=int(self.top_k), top_p=float(self.top_p),
-            temperature=float(self.temperature))
+            temperature=float(self.temperature), resume=resume)
         if verbose and B == 1:
             print(f'Prompt: {input_string!r} -> '
                   f'{self.tokenizer.detokenize_batch(np.asarray(generation))}')

@@ -76,24 +76,47 @@ def _out(p, x_dtype, y):
 
 def mha_full(p, cfg: ModelConfig, x, *, offset=0,
              kv_buffers: Optional[Tuple[jax.Array, jax.Array]] = None,
-             use_pallas: bool = False):
+             use_pallas: bool = False, attend_buffer: bool = False):
     """Full-sequence causal attention (prefill / scoring path).
 
     Returns (y, kv_buffers') where kv_buffers' has k/v written at
     [offset, offset+L) when buffers were provided (else None).
+
+    attend_buffer=True is the *continued*-prefill path (offset may be a
+    traced value): queries attend over the whole static buffer with the
+    mask `key_pos <= offset + query_pos`, covering all previously cached
+    positions plus the causal prefix of the new block (the unwritten tail
+    is masked out). The default path attends only within the new block
+    (fresh prefill; flash kernel eligible).
     """
     q, k, v = _qkv(p, cfg, x)
     q, k = _rotate(cfg, q, k, offset)
-    y = sdpa_causal(q, k, v, use_pallas=use_pallas)
-    new_buffers = None
-    if kv_buffers is not None:
-        k_buf, v_buf = kv_buffers
-        k_buf = jax.lax.dynamic_update_slice(
-            k_buf, k.astype(k_buf.dtype), (0, offset, 0, 0))
-        v_buf = jax.lax.dynamic_update_slice(
-            v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
-        new_buffers = (k_buf, v_buf)
-    return _out(p, x.dtype, y), new_buffers
+    if kv_buffers is None:
+        y = sdpa_causal(q, k, v, use_pallas=use_pallas)
+        return _out(p, x.dtype, y), None
+
+    k_buf, v_buf = kv_buffers
+    k_buf = jax.lax.dynamic_update_slice(
+        k_buf, k.astype(k_buf.dtype), (0, offset, 0, 0))
+    v_buf = jax.lax.dynamic_update_slice(
+        v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
+    if not attend_buffer:
+        y = sdpa_causal(q, k, v, use_pallas=use_pallas)
+        return _out(p, x.dtype, y), (k_buf, v_buf)
+
+    B, L, H, Dh = q.shape
+    T = k_buf.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+    s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
+                   k_buf.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    row = jnp.arange(L)[:, None]
+    col = jnp.arange(T)[None, :]
+    s = jnp.where((col <= offset + row)[None, None], s, -jnp.inf)
+    a = jax.nn.softmax(s, axis=-1)
+    y = jnp.einsum('bhlt,bthd->blhd', a, v_buf.astype(jnp.float32),
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    return _out(p, x.dtype, y), (k_buf, v_buf)
 
 
 def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):

@@ -68,11 +68,16 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
         z, p['fir_w'], p.get('fir_b'), fir_in_state)
     x2, x1, v = z[:, 0], z[:, 1], z[:, 2]       # (B, C, L) each
     u = x1 * v
-    if state is not None:
-        raise NotImplementedError(
-            'segment-continued long conv lands with chunked prefill')
     chunked = (cfg.hyena_fft_chunk and L > cfg.hyena_fft_chunk)
-    if chunked:
+    if state is not None:
+        # segment continuation: the chunked conv consumes the carried modal
+        # state exactly (chunk must divide L; fall back to one L-chunk)
+        chunk = (cfg.hyena_fft_chunk
+                 if chunked and L % cfg.hyena_fft_chunk == 0 else L)
+        y, iir = fftconv.fft_causal_conv_chunked(
+            u, p['poles'], p['residues'], chunk, state=state.iir,
+            mesh=mesh)
+    elif chunked:
         y, iir = fftconv.fft_causal_conv_chunked(
             u, p['poles'], p['residues'], cfg.hyena_fft_chunk, mesh=mesh)
     else:

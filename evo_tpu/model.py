@@ -233,33 +233,43 @@ def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
 
 
 def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
-            cache: Params, mesh=None) -> Tuple[jax.Array, Params]:
+            cache: Params, mesh=None,
+            resume: bool = False) -> Tuple[jax.Array, Params]:
     """Consume a full prompt, filling the decode cache.
 
-    ids: (B, L). Returns (logits (B, L, vocab) f32, cache with offset=L).
-    Hyena layers run the FFT path and hand off modal/FIR state
-    (`prefill_style: fft`, config:37; SURVEY.md §7 hard part #1).
+    ids: (B, L). Returns (logits (B, L, vocab) f32, cache with offset
+    advanced by L). Hyena layers run the FFT path and hand off modal/FIR
+    state (`prefill_style: fft`, config:37; SURVEY.md §7 hard part #1).
+
+    resume=True continues from a non-empty cache (the reference's
+    resumable `inference_params_dict` contract, `evo/generation.py:105-114`):
+    attention attends over cached + new positions, rotary positions shift
+    by the cache offset, and the Hyena conv is seeded with the carried
+    FIR/modal state (exact, via the chunked conv's state carry).
     """
     up = _use_pallas(cfg)
     B, L = ids.shape
+    offset = cache['offset'] if resume else 0
     x = _embed(params, cfg, ids)
     new_layers = []
     for li, blk in enumerate(params['blocks']):
         h = rmsnorm(x, blk['pre_norm'], cfg.eps)
         if cfg.is_attn_layer(li):
             st = cache['layers'][li]
-            mix, kv = mha_full(blk['attn'], cfg, h, offset=0,
-                               kv_buffers=(st['k'], st['v']), use_pallas=up)
+            mix, kv = mha_full(blk['attn'], cfg, h, offset=offset,
+                               kv_buffers=(st['k'], st['v']),
+                               use_pallas=up, attend_buffer=resume)
             new_layers.append({'k': kv[0], 'v': kv[1]})
         else:
-            mix, hst = hyena_full(blk['hyena'], cfg, h, collect_state=True,
-                                  mesh=mesh)
+            mix, hst = hyena_full(
+                blk['hyena'], cfg, h, collect_state=True, mesh=mesh,
+                state=cache['layers'][li] if resume else None)
             new_layers.append(hst)
         x = x + mix
         x = x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
                           cfg.mlp_activation)
     logits = _unembed(params, cfg, x)
-    return logits, {'offset': jnp.asarray(L, jnp.int32),
+    return logits, {'offset': offset + jnp.asarray(L, jnp.int32),
                     'layers': new_layers}
 
 

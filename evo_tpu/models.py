@@ -69,7 +69,8 @@ class EvoModel:
         self._fwd = jax.jit(
             functools.partial(_forward_cfg, cfg=config, mesh=mesh))
         self._prefill = jax.jit(
-            functools.partial(_prefill_cfg, cfg=config, mesh=mesh))
+            functools.partial(_prefill_cfg, cfg=config, mesh=mesh),
+            static_argnames=('resume',))
         self._step = jax.jit(
             functools.partial(_step_cfg, cfg=config),
             donate_argnums=(2,))
@@ -86,7 +87,9 @@ class EvoModel:
             logits, cache = self._step(self.params, ids[:, 0],
                                        inference_params_dict)
             return logits[:, None], cache
-        return self._prefill(self.params, ids, inference_params_dict)
+        resume = int(np.asarray(inference_params_dict['offset'])) > 0
+        return self._prefill(self.params, ids, inference_params_dict,
+                             resume=resume)
 
     def initialize_inference_params(self, batch_size: int, max_len: int):
         return model_lib.init_cache(self.config, batch_size, max_len)
@@ -107,8 +110,9 @@ def _forward_cfg(params, ids, *, cfg, mesh=None):
     return model_lib.forward(params, cfg, ids, mesh=mesh)
 
 
-def _prefill_cfg(params, ids, cache, *, cfg, mesh=None):
-    return model_lib.prefill(params, cfg, ids, cache, mesh=mesh)
+def _prefill_cfg(params, ids, cache, *, cfg, mesh=None, resume=False):
+    return model_lib.prefill(params, cfg, ids, cache, mesh=mesh,
+                             resume=resume)
 
 
 def _step_cfg(params, token, cache, *, cfg):

@@ -118,3 +118,28 @@ def test_sample_respects_top_k():
                         temperature=1.0)[0]) for i in range(50)]
     assert set(draws) <= {1, 2}
     assert len(set(draws)) == 2
+
+
+def test_resumable_generation_matches_single_run(setup):
+    """Two chained generate() calls carrying the cache must equal one call
+    producing the same total tokens (greedy) — the reference's resumable
+    inference_params_dict contract (evo/generation.py:14-22)."""
+    model, tokenizer = setup
+    g = Generator(model, tokenizer, top_k=1, temperature=0.0)
+
+    # one shot: 12 tokens
+    ids = tokenizer.tokenize('ACGTACGT')[None]
+    full, _, _ = g.generate(input_ids=ids, num_tokens=12, verbose=False)
+    full = np.asarray(full)[0]
+
+    # chained: 5 tokens, then resume feeding only the final sampled token
+    # (the returned cache has consumed everything before it)
+    part1, _, cache = g.generate(input_ids=ids, num_tokens=5,
+                                 verbose=False)
+    part1 = np.asarray(part1)[0]
+    part2, _, _ = g.generate(input_ids=np.asarray(part1[-1:])[None],
+                             num_tokens=7, inference_params_dict=cache,
+                             verbose=False)
+    part2 = np.asarray(part2)[0]
+    combined = np.concatenate([part1, part2])
+    np.testing.assert_array_equal(combined, full)
