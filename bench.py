@@ -148,6 +148,9 @@ def main():
                              'generate', 'tiny'])
     ap.add_argument('--batch', type=int, default=1)
     ap.add_argument('--length', type=int, default=None)
+    ap.add_argument('--profile', default=None, metavar='DIR',
+                    help='capture a jax.profiler trace of the timed '
+                         'region into DIR (view with xprof/tensorboard)')
     args = ap.parse_args()
 
     from evo_tpu.models import config_for_model
@@ -167,15 +170,19 @@ def main():
         batch, length = args.batch, args.length or 8192
         name = 'evo-1-8k-base-7b'
 
-    if args.preset == 'decode':
-        tps = bench_decode(cfg, batch, prompt_len=128, steps=64)
-        metric = f'decode_tokens_per_sec_per_chip_{name}'
-    elif args.preset == 'generate':
-        tps = bench_generate(cfg, batch)
-        metric = f'generate_tokens_per_sec_per_chip_{name}'
-    else:
-        tps = bench_prefill(cfg, batch, length)
-        metric = f'prefill_tokens_per_sec_per_chip_{name}'
+    import contextlib
+    profile_cm = (jax.profiler.trace(args.profile) if args.profile
+                  else contextlib.nullcontext())
+    with profile_cm:
+        if args.preset == 'decode':
+            tps = bench_decode(cfg, batch, prompt_len=128, steps=64)
+            metric = f'decode_tokens_per_sec_per_chip_{name}'
+        elif args.preset == 'generate':
+            tps = bench_generate(cfg, batch)
+            metric = f'generate_tokens_per_sec_per_chip_{name}'
+        else:
+            tps = bench_prefill(cfg, batch, length)
+            metric = f'prefill_tokens_per_sec_per_chip_{name}'
 
     roofline_tps = _chip_peak_flops() / _model_flops_per_token(cfg)
     target = 0.5 * roofline_tps                     # BASELINE.md target

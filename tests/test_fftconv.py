@@ -161,3 +161,13 @@ def test_chunked_conv_decode_handoff():
     y_t, _ = fftconv.modal_step(u[..., L], poles, residues, d_skip, state)
     np.testing.assert_allclose(np.asarray(y_t), np.asarray(want[..., -1]),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize('L,block', [(16, 128), (37, 8), (300, 64)])
+def test_factored_filter_matches_direct(L, block):
+    """Factored-power materialization == naive per-t oracle."""
+    poles, residues = _random_modal(jax.random.PRNGKey(30), D=6, S=5)
+    got = fftconv.materialize_filter(poles, residues, L, block=block)
+    want = fftconv.materialize_filter_direct(poles, residues, L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
