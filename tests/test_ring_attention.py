@@ -43,3 +43,27 @@ def test_ring_under_jit():
     np.testing.assert_allclose(np.asarray(fn(q, k, v)),
                                np.asarray(sdpa_causal(q, k, v)),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize('dp,tp,B,L,H', [(1, 8, 2, 64, 8), (2, 4, 2, 64, 4)])
+def test_ulysses_matches_naive(dp, tp, B, L, H):
+    from evo_tpu.ops.ulysses_attention import ulysses_attention
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[:dp * tp])
+    Dh = 16
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (B, L, H, Dh), jnp.float32)
+    k = jax.random.normal(ks[1], (B, L, H, Dh), jnp.float32)
+    v = jax.random.normal(ks[2], (B, L, H, Dh), jnp.float32)
+    want = sdpa_causal(q, k, v)
+    got = ulysses_attention(q, k, v, mesh, axis_name='tp',
+                            batch_axis='dp')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from evo_tpu.ops.ulysses_attention import ulysses_attention
+    mesh = make_mesh(dp=1, tp=8)
+    x = jnp.zeros((1, 64, 6, 8))                 # 6 heads, ring 8
+    with pytest.raises(ValueError, match='divisible'):
+        ulysses_attention(x, x, x, mesh)
