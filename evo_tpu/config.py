@@ -92,6 +92,10 @@ class ModelConfig:
     # O(chunk) — required for 131k context on 16 GB chips). 0 = always
     # monolithic FFT.
     hyena_fft_chunk: int = 0
+    # Long-conv prefill backend: 'matmul' = chunked Toeplitz matmuls on the
+    # MXU (fastest on TPU, bounded memory); 'fft' = XLA FFT (monolithic, or
+    # chunked when hyena_fft_chunk > 0; the numerics oracle).
+    hyena_conv_backend: str = 'matmul'
 
     def __post_init__(self):
         # tuples so the config is hashable (required for static jit args)

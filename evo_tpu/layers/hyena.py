@@ -69,7 +69,17 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     x2, x1, v = z[:, 0], z[:, 1], z[:, 2]       # (B, C, L) each
     u = x1 * v
     chunked = (cfg.hyena_fft_chunk and L > cfg.hyena_fft_chunk)
-    if state is not None:
+    if cfg.hyena_conv_backend == 'matmul':
+        # MXU path: chunked Toeplitz matmuls, exact modal cross-chunk carry.
+        # Handles fresh prefill, segment continuation, and state collection
+        # uniformly (the final state falls out of the chunk prefix for free).
+        chunk = cfg.hyena_fft_chunk or 128
+        if state is not None and L % chunk:
+            chunk = L   # continuation requires chunk | L
+        y, iir = fftconv.conv_matmul_chunked(
+            u, p['poles'], p['residues'], chunk,
+            state=state.iir if state is not None else None)
+    elif state is not None:
         # segment continuation: the chunked conv consumes the carried modal
         # state exactly (chunk must divide L; fall back to one L-chunk)
         chunk = (cfg.hyena_fft_chunk

@@ -232,6 +232,132 @@ def fft_causal_conv_chunked(u: jax.Array, poles: jax.Array,
     return y, jnp.stack([sr, si], axis=-1)
 
 
+def _pole_pow_tables(logmag, theta, exps):
+    """Re/Im of p^e for a vector of exponents. Returns (D, S, E) pairs."""
+    e = jnp.asarray(exps, jnp.float32)[None, None, :]
+    mag = jnp.exp(e * logmag[..., None])
+    return mag * jnp.cos(e * theta[..., None]), \
+        mag * jnp.sin(e * theta[..., None])
+
+
+def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
+                        chunk: int = 128, state: jax.Array | None = None,
+                        mesh=None):
+    """Fully-parallel chunked causal conv recast as MXU matmuls.
+
+    Same contract as `fft_causal_conv_chunked` (returns (y (B, D, L) f32,
+    modal state (B, D, S, 2) f32 at position L)) but with no sequential
+    scan and no FFT:
+
+      * within-chunk: y_i = T_d @ u_i where T_d is the (C, C) lower-
+        triangular Toeplitz matrix of the first C filter taps — a batched
+        (K, C) @ (C, C) matmul per channel, MXU-resident (the FlashFFTConv
+        insight — conv as matmul — applied directly since C is small;
+        reference extension point `use_flashfft`,
+        `evo/configs/evo-1-8k-base_inference.yml:33`);
+      * cross-chunk: the filter's modal form makes the tail exactly
+        low-rank — per-chunk injected states via one einsum, combined with
+        a Hillis-Steele weighted prefix over the K chunks (log2 K
+        elementwise steps, no scan), then decayed into each chunk via a
+        second einsum.
+
+    Replaces the XLA-FFT path that measured ~60% of 7B prefill step time
+    (BASELINE.md 2026-08-17 decomposition). `mesh` is accepted for
+    interface parity and ignored: every op is batched over channels, so
+    GSPMD shards it with zero communication.
+    """
+    del mesh
+    B, D, L = u.shape
+    S = poles.shape[1]
+    C = min(chunk, L)
+    pad = (-L) % C
+    if state is not None and pad:
+        raise ValueError(
+            'segment continuation (state != None) requires L to be a '
+            f'multiple of chunk (L={L}, chunk={C})')
+    u32 = u.astype(jnp.float32)
+    if pad:
+        # leading zeros convolve to zero and inject nothing into the state
+        u32 = jnp.concatenate(
+            [jnp.zeros((B, D, pad), jnp.float32), u32], axis=-1)
+    K = (L + pad) // C
+
+    p32 = poles.astype(jnp.float32)
+    logmag, theta = _pole_log(p32)
+    rr, ri = residues[..., 0].astype(jnp.float32), \
+        residues[..., 1].astype(jnp.float32)
+
+    # (D, C, C) lower-triangular Toeplitz of the first C taps. Tie the
+    # (input-independent) taps to this layer's activations so XLA cannot
+    # hoist all 29 layers' (D, C, C) Toeplitz tensors (~270 MB each at 7B)
+    # to program start, which would OOM next to the resident weights.
+    h_local = materialize_filter(poles, residues, C)          # (D, C)
+    h_local, u32 = jax.lax.optimization_barrier((h_local, u32))
+    t_idx = jnp.arange(C)
+    delta = t_idx[:, None] - t_idx[None, :]                   # (C, C)
+    toep = jnp.take(h_local, jnp.maximum(delta, 0), axis=1) * \
+        (delta >= 0).astype(jnp.float32)[None]                # (D, C, C)
+
+    uc = u32.reshape(B, D, K, C)
+    hi = jax.lax.Precision.HIGHEST
+    y_local = jnp.einsum('dtc,bdkc->bdkt', toep, uc, precision=hi,
+                         preferred_element_type=jnp.float32)
+
+    # per-chunk injected state: sum_j p^(C-1-j) u_i[j]
+    pw_r, pw_i = _pole_pow_tables(logmag, theta,
+                                  jnp.arange(C - 1, -1, -1))  # (D, S, C)
+    inj_r = jnp.einsum('bdkc,dsc->bdks', uc, pw_r, precision=hi,
+                       preferred_element_type=jnp.float32)
+    inj_i = jnp.einsum('bdkc,dsc->bdks', uc, pw_i, precision=hi,
+                       preferred_element_type=jnp.float32)
+
+    # inclusive weighted prefix over chunks: s_k = sum_{j<=k} a^(k-j) inj_j,
+    # a = p^C — Hillis-Steele doubling, log2(K) elementwise steps
+    sr, si = inj_r, inj_i                                     # (B, D, K, S)
+    step = 1
+    while step < K:
+        ar, ai = _pole_pow_tables(logmag, theta, [C * step])  # (D, S, 1)
+        ar = ar[None, :, :, 0][:, :, None, :]                 # (1, D, 1, S)
+        ai = ai[None, :, :, 0][:, :, None, :]
+        z = jnp.zeros((B, D, step, S), jnp.float32)
+        sr_sh = jnp.concatenate([z, sr[:, :, :-step]], axis=2)
+        si_sh = jnp.concatenate([z, si[:, :, :-step]], axis=2)
+        sr, si = sr + ar * sr_sh - ai * si_sh, \
+            si + ar * si_sh + ai * sr_sh
+        step *= 2
+
+    # state entering chunk k: a^k s0 + incl_{k-1}
+    z1 = jnp.zeros((B, D, 1, S), jnp.float32)
+    br = jnp.concatenate([z1, sr[:, :, :-1]], axis=2)         # (B, D, K, S)
+    bi = jnp.concatenate([z1, si[:, :, :-1]], axis=2)
+    if state is not None:
+        s0r, s0i = state[..., 0], state[..., 1]               # (B, D, S)
+        ak_r, ak_i = _pole_pow_tables(logmag, theta,
+                                      C * jnp.arange(K + 1))  # (D, S, K+1)
+        ak_r = jnp.moveaxis(ak_r, -1, 1)[None]                # (1, D, K+1, S)
+        ak_i = jnp.moveaxis(ak_i, -1, 1)[None]
+        br = br + ak_r[:, :, :K] * s0r[:, :, None] - \
+            ak_i[:, :, :K] * s0i[:, :, None]
+        bi = bi + ak_r[:, :, :K] * s0i[:, :, None] + \
+            ak_i[:, :, :K] * s0r[:, :, None]
+        fr = ak_r[:, :, K] * s0r - ak_i[:, :, K] * s0i + sr[:, :, -1]
+        fi = ak_r[:, :, K] * s0i + ak_i[:, :, K] * s0r + si[:, :, -1]
+    else:
+        fr, fi = sr[:, :, -1], si[:, :, -1]
+
+    # in-chunk decay of the entering state: y_state[t] = Re(s . R p^(t+1))
+    dec_r, dec_i = _pole_pow_tables(logmag, theta, jnp.arange(1, C + 1))
+    tab_r = rr[..., None] * dec_r - ri[..., None] * dec_i     # (D, S, C)
+    tab_i = rr[..., None] * dec_i + ri[..., None] * dec_r
+    y_state = (jnp.einsum('bdks,dsc->bdkc', br, tab_r, precision=hi,
+                          preferred_element_type=jnp.float32)
+               - jnp.einsum('bdks,dsc->bdkc', bi, tab_i, precision=hi,
+                            preferred_element_type=jnp.float32))
+
+    y = (y_local + y_state).reshape(B, D, L + pad)[..., pad:]
+    return y, jnp.stack([fr, fi], axis=-1)
+
+
 def direct_causal_conv(u: jax.Array, h: jax.Array) -> jax.Array:
     """O(L^2) reference oracle for tests: same contract as fft_causal_conv."""
     L = u.shape[-1]

@@ -163,6 +163,54 @@ def test_chunked_conv_decode_handoff():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize('L,chunk', [(48, 16), (37, 16), (64, 64), (20, 8),
+                                     (128, 16)])
+def test_matmul_conv_matches_monolithic(L, chunk):
+    """Toeplitz-matmul chunked conv == one full-length FFT conv."""
+    D, S, B = 6, 4, 2
+    poles, residues = _random_modal(jax.random.PRNGKey(40), D, S)
+    u = jax.random.normal(jax.random.PRNGKey(41), (B, D, L), jnp.float32)
+    h = fftconv.materialize_filter(poles, residues, L)
+    want = fftconv.fft_causal_conv(u, h)
+    got, state = fftconv.conv_matmul_chunked(u, poles, residues, chunk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    want_state = fftconv.modal_prefill_state(u, poles, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(state), np.asarray(want_state),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_matmul_conv_segment_continuation():
+    """Two matmul-conv calls with carried state == one full call."""
+    D, S, B, chunk = 4, 3, 1, 8
+    poles, residues = _random_modal(jax.random.PRNGKey(42), D, S)
+    u = jax.random.normal(jax.random.PRNGKey(43), (B, D, 32), jnp.float32)
+    full, full_state = fftconv.conv_matmul_chunked(u, poles, residues, chunk)
+    y1, s1 = fftconv.conv_matmul_chunked(u[..., :16], poles, residues, chunk)
+    y2, s2 = fftconv.conv_matmul_chunked(u[..., 16:], poles, residues,
+                                         chunk, state=s1)
+    got = jnp.concatenate([y1, y2], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(full_state),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_matmul_conv_decode_handoff():
+    """State from the matmul conv continues correctly into modal_step."""
+    D, S, B, L = 4, 3, 1, 24
+    poles, residues = _random_modal(jax.random.PRNGKey(44), D, S)
+    d_skip = jax.random.normal(jax.random.PRNGKey(45), (D,), jnp.float32)
+    u = jax.random.normal(jax.random.PRNGKey(46), (B, D, L + 1), jnp.float32)
+    h = fftconv.materialize_filter(poles, residues, L + 1)
+    want = fftconv.fft_causal_conv(u, h) + d_skip[None, :, None] * u
+    _, state = fftconv.conv_matmul_chunked(u[..., :L], poles, residues,
+                                           chunk=8)
+    y_t, _ = fftconv.modal_step(u[..., L], poles, residues, d_skip, state)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(want[..., -1]),
+                               rtol=1e-3, atol=1e-4)
+
+
 @pytest.mark.parametrize('L,block', [(16, 128), (37, 8), (300, 64)])
 def test_factored_filter_matches_direct(L, block):
     """Factored-power materialization == naive per-t oracle."""
