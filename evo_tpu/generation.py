@@ -191,11 +191,21 @@ class Generator:
 
         if rng is None:
             rng = jax.random.PRNGKey(seed)
+        if verbose:
+            # reference prints device memory under verbose
+            # (evo/generation.py:122-124, 201-202)
+            from evo_tpu.runtime import device_memory_report
+            print(f'Memory before generation: {device_memory_report()}',
+                  flush=True)
         generation, scores, cache = _generate_program(
             self.model.params, prompt, forced, cache, rng,
             cfg=cfg, num_tokens=int(num_tokens), num_forced=num_forced,
             top_k=int(self.top_k), top_p=float(self.top_p),
             temperature=float(self.temperature), resume=resume)
+        if verbose:
+            from evo_tpu.runtime import device_memory_report
+            print(f'Memory after generation: {device_memory_report()}',
+                  flush=True)
         if verbose and B == 1:
             print(f'Prompt: {input_string!r} -> '
                   f'{self.tokenizer.detokenize_batch(np.asarray(generation))}')
