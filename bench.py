@@ -153,6 +153,11 @@ def main():
                          'region into DIR (view with xprof/tensorboard)')
     args = ap.parse_args()
 
+    # Persistent compile cache: the 29-layer program takes minutes to build
+    # through the tunneled backend; cached re-runs skip straight to timing.
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jaxcache-bench')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
     from evo_tpu.models import config_for_model
     from evo_tpu.config import tiny_config
 

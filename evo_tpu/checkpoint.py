@@ -147,8 +147,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     if cfg.final_norm:
         params['final_norm'] = _to_dtype(_pop(sd, 'norm.scale'), pd)
 
-    blocks = []
-    for i in range(cfg.num_layers):
+    def one_block(i: int) -> Dict[str, Any]:
         p = f'blocks.{i}.'
         blk: Dict[str, Any] = {
             'pre_norm': _to_dtype(_pop(sd, p + 'pre_norm.scale'), pd),
@@ -216,8 +215,19 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             if b is not None:
                 hy['b_out'] = _to_dtype(b, pd)
             blk['hyena'] = hy
-        blocks.append(blk)
-    params['blocks'] = blocks
+        return blk
+
+    segments = []
+    for kind, idxs in cfg.layer_segments():
+        if kind == 'attn':
+            segments.append(one_block(idxs[0]))
+        else:
+            # stacked hyena run: leading axis = layers (model.init_params
+            # segment layout; executed under lax.scan)
+            segments.append({'stack': jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[one_block(li) for li in idxs])})
+    params['segments'] = segments
 
     if sd:
         raise ValueError(

@@ -140,6 +140,29 @@ class ModelConfig:
     def is_attn_layer(self, idx: int) -> bool:
         return idx in self.attn_layer_idxs
 
+    def layer_segments(self) -> Tuple[Tuple[str, Tuple[int, ...]], ...]:
+        """Layers grouped into maximal runs of one kind, in order.
+
+        E.g. evo-1 (attn at 8/16/24): (('hyena', (0..7)), ('attn', (8,)),
+        ('hyena', (9..15)), ...). Hyena runs are *stacked* in the param
+        tree and executed under `lax.scan`, so XLA compiles one block body
+        per run instead of 29 inlined copies (compile time O(1) in depth).
+        Attention layers stay individual segments.
+        """
+        segs = []
+        run = []
+        for li in range(self.num_layers):
+            if self.is_attn_layer(li):
+                if run:
+                    segs.append(('hyena', tuple(run)))
+                    run = []
+                segs.append(('attn', (li,)))
+            else:
+                run.append(li)
+        if run:
+            segs.append(('hyena', tuple(run)))
+        return tuple(segs)
+
     @classmethod
     def from_yaml(cls, path: str) -> 'ModelConfig':
         with open(path) as f:

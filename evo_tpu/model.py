@@ -24,6 +24,7 @@ softmax / FFT / logits in float32.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -62,11 +63,13 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
     K = cfg.short_filter_length
     S = cfg.state_size
 
-    keys = iter(jax.random.split(rng, 16 + 16 * cfg.num_layers))
-
     def dense(key, fan_in, shape):
         return (jax.random.normal(key, shape, jnp.float32) /
                 jnp.sqrt(jnp.float32(fan_in))).astype(pd)
+
+    k_top, k_layers = jax.random.split(rng)
+    keys = iter(jax.random.split(k_top, 4))
+    layer_keys = jax.random.split(k_layers, cfg.num_layers)
 
     params: Params = {
         'embedding': (jax.random.normal(next(keys), (V, D), jnp.float32)
@@ -78,60 +81,95 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
         params['unembed'] = (jax.random.normal(next(keys), (V, D),
                                                jnp.float32) * 0.02).astype(pd)
 
-    blocks = []
-    for li in range(cfg.num_layers):
-        blk: Params = {
+    def mlp_block(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            'w1': dense(k1, D, (D, I)),
+            'w2': dense(k2, D, (D, I)),
+            'w3': dense(k3, I, (I, D)),
+        }
+
+    def attn_block(key):
+        H, Dh = cfg.num_attention_heads, cfg.head_dim
+        k_qkv, k_o, k_mlp = jax.random.split(key, 3)
+        attn = {
+            # TP-first layouts: streams/heads explicit (layers/attention.py)
+            'wqkv': dense(k_qkv, D, (D, 3, H, Dh)),
+            'wo': dense(k_o, D, (H, Dh, D)),
+        }
+        if cfg.qkv_proj_bias:
+            attn['bqkv'] = jnp.zeros((3, H, Dh), pd)
+        if cfg.mha_out_proj_bias:
+            attn['bo'] = jnp.zeros((D,), pd)
+        return {
             'pre_norm': jnp.ones((D,), pd),
             'post_norm': jnp.ones((D,), pd),
-            'mlp': {
-                'w1': dense(next(keys), D, (D, I)),
-                'w2': dense(next(keys), D, (D, I)),
-                'w3': dense(next(keys), I, (I, D)),
-            },
+            'attn': attn,
+            'mlp': mlp_block(k_mlp),
         }
-        if cfg.is_attn_layer(li):
-            H, Dh = cfg.num_attention_heads, cfg.head_dim
-            attn = {
-                # TP-first layouts: streams/heads explicit (layers/attention.py)
-                'wqkv': dense(next(keys), D, (D, 3, H, Dh)),
-                'wo': dense(next(keys), D, (H, Dh, D)),
-            }
-            if cfg.qkv_proj_bias:
-                attn['bqkv'] = jnp.zeros((3, H, Dh), pd)
-            if cfg.mha_out_proj_bias:
-                attn['bo'] = jnp.zeros((D,), pd)
-            blk['attn'] = attn
+
+    def hyena_block(key):
+        k_in, k_fir, k_pole, k_res, k_ang, k_out, k_mlp = \
+            jax.random.split(key, 7)
+        # poles inside the unit disk: log-uniform magnitude, uniform phase
+        mag = jax.random.uniform(k_pole, (D, S), jnp.float32, 0.6, 0.99)
+        ang = jax.random.uniform(k_ang, (D, S), jnp.float32,
+                                 -3.14159, 3.14159)
+        poles = jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)], axis=-1)
+        hy = {
+            # (D, 3, C): streams axis explicit (layers/hyena.py)
+            'w_in': dense(k_in, D, (D, 3, D)),
+            'fir_w': (jax.random.normal(k_fir, (3, D, K), jnp.float32)
+                      / jnp.sqrt(jnp.float32(K))).astype(pd),
+            'poles': poles,          # float32 always
+            'residues': (jax.random.normal(k_res, (D, S, 2), jnp.float32)
+                         / S),       # float32 always
+            'd_skip': jnp.ones((D,), pd),
+            'w_out': dense(k_out, D, (D, D)),
+        }
+        if cfg.hyena_proj_bias:
+            hy['b_in'] = jnp.zeros((3, D), pd)
+        if cfg.short_filter_bias:
+            hy['fir_b'] = jnp.zeros((3, D), pd)
+        if cfg.hyena_out_proj_bias:
+            hy['b_out'] = jnp.zeros((D,), pd)
+        return {
+            'pre_norm': jnp.ones((D,), pd),
+            'post_norm': jnp.ones((D,), pd),
+            'hyena': hy,
+            'mlp': mlp_block(k_mlp),
+        }
+
+    segments = []
+    for kind, idxs in cfg.layer_segments():
+        if kind == 'attn':
+            segments.append(attn_block(layer_keys[idxs[0]]))
         else:
-            k_pole, k_res, k_ang = jax.random.split(next(keys), 3)
-            # poles inside the unit disk: log-uniform magnitude, uniform phase
-            mag = jax.random.uniform(k_pole, (D, S), jnp.float32, 0.6, 0.99)
-            ang = jax.random.uniform(k_ang, (D, S), jnp.float32,
-                                     -3.14159, 3.14159)
-            poles = jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)],
-                              axis=-1)
-            residues = (jax.random.normal(k_res, (D, S, 2), jnp.float32)
-                        / S)
-            hy = {
-                # (D, 3, C): streams axis explicit (layers/hyena.py)
-                'w_in': dense(next(keys), D, (D, 3, D)),
-                'fir_w': (jax.random.normal(next(keys), (3, D, K),
-                                            jnp.float32) / jnp.sqrt(
-                    jnp.float32(K))).astype(pd),
-                'poles': poles,          # float32 always
-                'residues': residues,    # float32 always
-                'd_skip': jnp.ones((D,), pd),
-                'w_out': dense(next(keys), D, (D, D)),
-            }
-            if cfg.hyena_proj_bias:
-                hy['b_in'] = jnp.zeros((3, D), pd)
-            if cfg.short_filter_bias:
-                hy['fir_b'] = jnp.zeros((3, D), pd)
-            if cfg.hyena_out_proj_bias:
-                hy['b_out'] = jnp.zeros((D,), pd)
-            blk['hyena'] = hy
-        blocks.append(blk)
-    params['blocks'] = blocks
+            # stacked run: leading axis = layers in the run, so the whole
+            # run executes as one lax.scan (compile time O(1) in depth)
+            stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[hyena_block(layer_keys[li]) for li in idxs])
+            segments.append({'stack': stack})
+    params['segments'] = segments
     return params
+
+
+def layer_blocks(params: Params, cfg: ModelConfig):
+    """Per-layer (unstacked) view of the segment param tree, in layer order.
+
+    Hyena runs are stored stacked (leading scan axis); this slices them back
+    out for tooling/tests that want the reference's per-layer structure.
+    """
+    out = [None] * cfg.num_layers
+    for (kind, idxs), seg in zip(cfg.layer_segments(), params['segments']):
+        if kind == 'attn':
+            out[idxs[0]] = seg
+        else:
+            for j, li in enumerate(idxs):
+                out[li] = jax.tree_util.tree_map(lambda x, _j=j: x[_j],
+                                                 seg['stack'])
+    return out
 
 
 def param_count(params: Params) -> int:
@@ -156,16 +194,19 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
     H, Dh = cfg.num_attention_heads, cfg.head_dim
     K, S = cfg.short_filter_length, cfg.state_size
     layers = []
-    for li in range(cfg.num_layers):
-        if cfg.is_attn_layer(li):
+    for kind, idxs in cfg.layer_segments():
+        if kind == 'attn':
             layers.append({
                 'k': jnp.zeros((batch, max_len, H, Dh), cd),
                 'v': jnp.zeros((batch, max_len, H, Dh), cd),
             })
         else:
+            # stacked run: leading axis = layers in the run (matches the
+            # params['segments'][i]['stack'] layout / lax.scan xs)
+            n = len(idxs)
             layers.append(HyenaState(
-                fir=jnp.zeros((batch, 3, D, K - 1), cd),
-                iir=jnp.zeros((batch, D, S, 2), jnp.float32),
+                fir=jnp.zeros((n, batch, 3, D, K - 1), cd),
+                iir=jnp.zeros((n, batch, D, S, 2), jnp.float32),
             ))
     return {'offset': jnp.zeros((), jnp.int32), 'layers': layers}
 
@@ -196,16 +237,22 @@ def _unembed(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     return logits[..., :cfg.vocab_size]
 
 
-def _block_full(blk: Params, x: jax.Array, *, cfg: ModelConfig, li: int,
-                up: bool, mesh=None) -> jax.Array:
-    """One pre-norm residual block, full-sequence path."""
+def _attn_block_full(blk: Params, x: jax.Array, *, cfg: ModelConfig,
+                     up: bool) -> jax.Array:
+    """One pre-norm residual attention block, full-sequence path."""
     h = rmsnorm(x, blk['pre_norm'], cfg.eps)
-    if cfg.is_attn_layer(li):
-        mix, _ = mha_full(blk['attn'], cfg, h, use_pallas=up)
-    else:
-        mix, _ = hyena_full(blk['hyena'], cfg, h, mesh=mesh)
+    mix, _ = mha_full(blk['attn'], cfg, h, use_pallas=up)
     x = x + mix
     return x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
+                         cfg.mlp_activation)
+
+
+def _hyena_block_full(lp: Params, x: jax.Array, *, cfg: ModelConfig,
+                      mesh=None) -> jax.Array:
+    h = rmsnorm(x, lp['pre_norm'], cfg.eps)
+    mix, _ = hyena_full(lp['hyena'], cfg, h, mesh=mesh)
+    x = x + mix
+    return x + gated_mlp(lp['mlp'], rmsnorm(x, lp['post_norm'], cfg.eps),
                          cfg.mlp_activation)
 
 
@@ -218,17 +265,26 @@ def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
     no mask and slices outputs afterwards (`evo/scoring.py:22-31, 93-96`) —
     replicated exactly (SURVEY.md §7 hard part #6).
 
+    Hyena runs execute as `lax.scan` over the stacked segment params, so
+    XLA compiles one Hyena block body per run (not one per layer).
+
     With `cfg.remat` each block is rematerialized on the backward pass
     (activation memory O(sqrt) for training / long-context scoring grads).
     """
     up = _use_pallas(cfg)
     x = _embed(params, cfg, ids)
-    for li, blk in enumerate(params['blocks']):
-        def block(b, y, _li=li):
-            return _block_full(b, y, cfg=cfg, li=_li, up=up, mesh=mesh)
-        if cfg.remat:
-            block = jax.checkpoint(block)
-        x = block(blk, x)
+    for (kind, _idxs), seg in zip(cfg.layer_segments(), params['segments']):
+        if kind == 'attn':
+            block = functools.partial(_attn_block_full, cfg=cfg, up=up)
+            if cfg.remat:
+                block = jax.checkpoint(block)
+            x = block(seg, x)
+        else:
+            def body(y, lp):
+                return _hyena_block_full(lp, y, cfg=cfg, mesh=mesh), None
+            if cfg.remat:
+                body = jax.checkpoint(body)
+            x, _ = jax.lax.scan(body, x, seg['stack'])
     return _unembed(params, cfg, x)
 
 
@@ -238,8 +294,9 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
     """Consume a full prompt, filling the decode cache.
 
     ids: (B, L). Returns (logits (B, L, vocab) f32, cache with offset
-    advanced by L). Hyena layers run the FFT path and hand off modal/FIR
-    state (`prefill_style: fft`, config:37; SURVEY.md §7 hard part #1).
+    advanced by L). Hyena layers run the chunked-conv prefill and hand off
+    modal/FIR state (`prefill_style: fft`, config:37; SURVEY.md §7 hard
+    part #1).
 
     resume=True continues from a non-empty cache (the reference's
     resumable `inference_params_dict` contract, `evo/generation.py:105-114`):
@@ -252,22 +309,33 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
     offset = cache['offset'] if resume else 0
     x = _embed(params, cfg, ids)
     new_layers = []
-    for li, blk in enumerate(params['blocks']):
-        h = rmsnorm(x, blk['pre_norm'], cfg.eps)
-        if cfg.is_attn_layer(li):
-            st = cache['layers'][li]
-            mix, kv = mha_full(blk['attn'], cfg, h, offset=offset,
+    for si, ((kind, _idxs), seg) in enumerate(
+            zip(cfg.layer_segments(), params['segments'])):
+        st = cache['layers'][si]
+        if kind == 'attn':
+            h = rmsnorm(x, seg['pre_norm'], cfg.eps)
+            mix, kv = mha_full(seg['attn'], cfg, h, offset=offset,
                                kv_buffers=(st['k'], st['v']),
                                use_pallas=up, attend_buffer=resume)
             new_layers.append({'k': kv[0], 'v': kv[1]})
+            x = x + mix
+            x = x + gated_mlp(seg['mlp'],
+                              rmsnorm(x, seg['post_norm'], cfg.eps),
+                              cfg.mlp_activation)
         else:
-            mix, hst = hyena_full(
-                blk['hyena'], cfg, h, collect_state=True, mesh=mesh,
-                state=cache['layers'][li] if resume else None)
+            def body(y, inp, _resume=resume):
+                lp, s = inp
+                h = rmsnorm(y, lp['pre_norm'], cfg.eps)
+                mix, hst = hyena_full(
+                    lp['hyena'], cfg, h, collect_state=True,
+                    state=s if _resume else None, mesh=mesh)
+                y = y + mix
+                y = y + gated_mlp(lp['mlp'],
+                                  rmsnorm(y, lp['post_norm'], cfg.eps),
+                                  cfg.mlp_activation)
+                return y, hst
+            x, hst = jax.lax.scan(body, x, (seg['stack'], st))
             new_layers.append(hst)
-        x = x + mix
-        x = x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
-                          cfg.mlp_activation)
     logits = _unembed(params, cfg, x)
     return logits, {'offset': offset + jnp.asarray(L, jnp.int32),
                     'layers': new_layers}
@@ -286,18 +354,29 @@ def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
     offset = cache['offset']
     x = _embed(params, cfg, token)           # (B, 1, D)
     new_layers = []
-    for li, blk in enumerate(params['blocks']):
-        h = rmsnorm(x, blk['pre_norm'], cfg.eps)
-        if cfg.is_attn_layer(li):
-            st = cache['layers'][li]
-            mix, kv = mha_step(blk['attn'], cfg, h, (st['k'], st['v']),
+    for si, ((kind, _idxs), seg) in enumerate(
+            zip(cfg.layer_segments(), params['segments'])):
+        st = cache['layers'][si]
+        if kind == 'attn':
+            h = rmsnorm(x, seg['pre_norm'], cfg.eps)
+            mix, kv = mha_step(seg['attn'], cfg, h, (st['k'], st['v']),
                                offset)
             new_layers.append({'k': kv[0], 'v': kv[1]})
+            x = x + mix
+            x = x + gated_mlp(seg['mlp'],
+                              rmsnorm(x, seg['post_norm'], cfg.eps),
+                              cfg.mlp_activation)
         else:
-            mix, hst = hyena_step(blk['hyena'], cfg, h, cache['layers'][li])
+            def body(y, inp):
+                lp, s = inp
+                h = rmsnorm(y, lp['pre_norm'], cfg.eps)
+                mix, hst = hyena_step(lp['hyena'], cfg, h, s)
+                y = y + mix
+                y = y + gated_mlp(lp['mlp'],
+                                  rmsnorm(y, lp['post_norm'], cfg.eps),
+                                  cfg.mlp_activation)
+                return y, hst
+            x, hst = jax.lax.scan(body, x, (seg['stack'], st))
             new_layers.append(hst)
-        x = x + mix
-        x = x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
-                          cfg.mlp_activation)
     logits = _unembed(params, cfg, x)[:, 0]
     return logits, {'offset': offset + 1, 'layers': new_layers}

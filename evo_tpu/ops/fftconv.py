@@ -299,7 +299,9 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
         (delta >= 0).astype(jnp.float32)[None]                # (D, C, C)
 
     uc = u32.reshape(B, D, K, C)
-    hi = jax.lax.Precision.HIGHEST
+    # HIGH = bf16_3x on TPU (~1e-6 rel): ample for 1e-3 parity,
+    # ~40% faster compile than HIGHEST at these batched shapes
+    hi = jax.lax.Precision.HIGH
     y_local = jnp.einsum('dtc,bdkc->bdkt', toep, uc, precision=hi,
                          preferred_element_type=jnp.float32)
 

@@ -69,12 +69,18 @@ def _spec_for_path(path) -> P:
     keys = [getattr(k, 'key', getattr(k, 'idx', None)) for k in path]
     name = keys[-1]
     if 'attn' in keys:
-        return _ATTN_SPECS[name]
-    if 'hyena' in keys:
-        return _HYENA_SPECS[name]
-    if 'mlp' in keys:
-        return _MLP_SPECS[name]
-    return _TOP_SPECS[name]
+        spec = _ATTN_SPECS[name]
+    elif 'hyena' in keys:
+        spec = _HYENA_SPECS[name]
+    elif 'mlp' in keys:
+        spec = _MLP_SPECS[name]
+    else:
+        spec = _TOP_SPECS[name]
+    if 'stack' in keys:
+        # stacked hyena run (model.init_params): leading layer axis is the
+        # lax.scan axis - never sharded
+        spec = P(None, *spec)
+    return spec
 
 
 def param_specs(cfg: ModelConfig) -> Any:
@@ -96,14 +102,15 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
 def cache_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
     """NamedSharding tree matching `model.init_cache(cfg, B, T)`."""
     layers = []
-    for li in range(cfg.num_layers):
-        if cfg.is_attn_layer(li):
+    for kind, _idxs in cfg.layer_segments():
+        if kind == 'attn':
             kv = NamedSharding(mesh, P('dp', None, 'tp', None))
             layers.append({'k': kv, 'v': kv})
         else:
+            # leading axis = stacked layers in the run (scan axis, unsharded)
             layers.append(HyenaState(
-                fir=NamedSharding(mesh, P('dp', None, 'tp', None)),
-                iir=NamedSharding(mesh, P('dp', 'tp', None, None)),
+                fir=NamedSharding(mesh, P(None, 'dp', None, 'tp', None)),
+                iir=NamedSharding(mesh, P(None, 'dp', 'tp', None, None)),
             ))
     return {'offset': NamedSharding(mesh, P()), 'layers': layers}
 

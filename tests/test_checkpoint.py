@@ -26,7 +26,8 @@ def _params_to_engine_sd(params, cfg):
     sd = {'embedding_layer.weight': f32(params['embedding'])}
     if cfg.final_norm:
         sd['norm.scale'] = f32(params['final_norm'])
-    for i, blk in enumerate(params['blocks']):
+    from evo_tpu.model import layer_blocks
+    for i, blk in enumerate(layer_blocks(params, cfg)):
         p = f'blocks.{i}.'
         sd[p + 'pre_norm.scale'] = f32(blk['pre_norm'])
         sd[p + 'post_norm.scale'] = f32(blk['post_norm'])
@@ -91,7 +92,8 @@ def test_poles_residues_stay_fp32(tiny):
     cfg16 = cfg.replace(param_dtype='bfloat16')
     sd = _params_to_engine_sd(params, cfg)
     got = checkpoint.convert_state_dict(sd, cfg16)
-    hy = got['blocks'][0]['hyena']
+    from evo_tpu.model import layer_blocks
+    hy = layer_blocks(got, cfg16)[0]['hyena']
     assert hy['poles'].dtype == jnp.float32
     assert hy['residues'].dtype == jnp.float32
     assert hy['w_in'].dtype == jnp.bfloat16
