@@ -367,16 +367,25 @@ def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
                               rmsnorm(x, seg['post_norm'], cfg.eps),
                               cfg.mlp_activation)
         else:
-            def body(y, inp):
-                lp, s = inp
-                h = rmsnorm(y, lp['pre_norm'], cfg.eps)
+            # Unrolled (static slices of the stack), NOT lax.scan: a
+            # weight-scan nested inside the generation time-scan makes XLA
+            # materialize padded copies of every stacked weight (~GBs,
+            # OOM); static x[j] slices read the stack in place, and the
+            # per-token bodies are small enough that 29 copies compile
+            # quickly.
+            new_states = []
+            for j in range(len(_idxs)):
+                lp = jax.tree_util.tree_map(lambda a, _j=j: a[_j],
+                                            seg['stack'])
+                s = jax.tree_util.tree_map(lambda a, _j=j: a[_j], st)
+                h = rmsnorm(x, lp['pre_norm'], cfg.eps)
                 mix, hst = hyena_step(lp['hyena'], cfg, h, s)
-                y = y + mix
-                y = y + gated_mlp(lp['mlp'],
-                                  rmsnorm(y, lp['post_norm'], cfg.eps),
+                x = x + mix
+                x = x + gated_mlp(lp['mlp'],
+                                  rmsnorm(x, lp['post_norm'], cfg.eps),
                                   cfg.mlp_activation)
-                return y, hst
-            x, hst = jax.lax.scan(body, x, (seg['stack'], st))
-            new_layers.append(hst)
+                new_states.append(hst)
+            new_layers.append(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *new_states))
     logits = _unembed(params, cfg, x)[:, 0]
     return logits, {'offset': offset + 1, 'layers': new_layers}

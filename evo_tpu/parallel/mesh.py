@@ -20,7 +20,8 @@ from jax.sharding import Mesh
 
 def make_mesh(dp: int = 1, tp: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (dp, tp) mesh. tp defaults to all-devices/dp.
+    """Build a (dp, tp) mesh. tp defaults to all-devices/dp; dp=-1 means
+    all-devices/tp (auto-scale with slice size).
 
     Uses `jax.make_mesh` when building from the default device set so the
     logical mesh follows the physical ICI topology (contiguous tp groups).
@@ -32,6 +33,10 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
     auto = (jax.sharding.AxisType.Auto,) * 2
     if devices is None:
         n = jax.device_count()
+        if dp == -1:
+            # auto: tp chips per host on ICI, dp = the rest (pod launchers
+            # pass -1 so one launch line works on any slice size)
+            dp = max(1, n // (tp or n))
         if tp is None:
             tp = n // dp
         if dp * tp != n:

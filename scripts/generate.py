@@ -42,7 +42,7 @@ def main():
     args = parser.parse_args()
 
     mesh = None
-    if args.dp > 1 or args.tp not in (None, 1):
+    if args.dp != 1 or args.tp not in (None, 1):
         from evo_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp=args.dp, tp=args.tp)
 

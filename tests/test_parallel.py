@@ -90,3 +90,11 @@ def test_entry_compiles():
     logits = jax.jit(fn)(params, ids)
     assert logits.shape[0] == ids.shape[0]
     assert np.all(np.isfinite(np.asarray(logits[:, :8])))
+
+
+def test_make_mesh_auto_dp():
+    """dp=-1 derives dp from device_count / tp (pod launcher contract)."""
+    mesh = make_mesh(dp=-1, tp=4)
+    assert mesh.shape['dp'] == 2 and mesh.shape['tp'] == 4
+    mesh = make_mesh(dp=-1, tp=8)
+    assert mesh.shape['dp'] == 1 and mesh.shape['tp'] == 8
