@@ -168,7 +168,12 @@ def main():
         name = 'tiny'
     elif args.preset == 'prefill131k':
         cfg = config_for_model('evo-1-131k-base')
-        batch, length = args.batch, args.length or 131072
+        # Full 131k cannot fit one 16 GB chip next to the 12.9 GB weights
+        # (the 3 attention layers alone need 6.4 GB of KV at 131072) — it is
+        # a TP workload (BASELINE config #4; dryrun_multichip compiles it).
+        # Single-chip preset measures the 131k *config* (interpolated
+        # rotary, chunked conv) at the longest feasible length.
+        batch, length = args.batch, args.length or 16384
         name = 'evo-1-131k-base-7b'
     else:
         cfg = config_for_model('evo-1-8k-base')

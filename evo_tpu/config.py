@@ -96,6 +96,10 @@ class ModelConfig:
     # MXU (fastest on TPU, bounded memory); 'fft' = XLA FFT (monolithic, or
     # chunked when hyena_fft_chunk > 0; the numerics oracle).
     hyena_conv_backend: str = 'matmul'
+    # Chunk (= Toeplitz tile) for the matmul backend. 128 matches the MXU
+    # tile; the (D, chunk, chunk) tap tensor grows quadratically, so this
+    # must stay small — it is NOT the FFT memory knob above.
+    hyena_matmul_chunk: int = 128
 
     def __post_init__(self):
         # tuples so the config is hashable (required for static jit args)

@@ -206,6 +206,20 @@ class Generator:
             from evo_tpu.runtime import device_memory_report
             print(f'Memory after generation: {device_memory_report()}',
                   flush=True)
+        gen_np = np.asarray(generation)
+        if stop_at_eos:
+            # reference parity (evo/generation.py:169-170): the EOS check
+            # only PRINTS - generation is never truncated - so the fused
+            # scan runs to num_tokens and we report the first double-EOS
+            eos = self.tokenizer.eos_id
+            hits = (gen_np[0, :-1] == eos) & (gen_np[0, 1:] == eos)
+            if hits.any():
+                print('Stopping generation at EOS')
+        if print_generation and verbose and B == 1:
+            # streamed-token print of the reference, emitted post-scan
+            print(' '.join(self.tokenizer.detokenize([int(t)])
+                           for t in gen_np[0]), flush=True)
+        del skip_special_tokens   # accepted-unused, as in the reference
         if verbose and B == 1:
             print(f'Prompt: {input_string!r} -> '
                   f'{self.tokenizer.detokenize_batch(np.asarray(generation))}')

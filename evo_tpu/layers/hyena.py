@@ -73,7 +73,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
         # MXU path: chunked Toeplitz matmuls, exact modal cross-chunk carry.
         # Handles fresh prefill, segment continuation, and state collection
         # uniformly (the final state falls out of the chunk prefix for free).
-        chunk = cfg.hyena_fft_chunk or 128
+        chunk = cfg.hyena_matmul_chunk
         if state is not None and L % chunk:
             chunk = L   # continuation requires chunk | L
         y, iir = fftconv.conv_matmul_chunked(

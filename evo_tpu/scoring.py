@@ -104,6 +104,68 @@ def score_sequences(
             for i in range(len(seq_lengths))]
 
 
+def score_stream(
+    seq_batches,
+    model,
+    tokenizer: CharLevelTokenizer,
+    reduce_method: str = 'mean',
+    prepend_bos: bool = True,
+    pad_to_bucket: bool = True,
+    prefetch_depth: int = 2,
+    progress=None,
+) -> List[float]:
+    """Pipelined scoring over an iterable of sequence batches.
+
+    Same results as concatenating `score_sequences` over the batches, but
+    with the serial host work overlapped against device compute: a worker
+    thread tokenizes/pads `prefetch_depth` batches ahead (io/prefetch.py)
+    and the log-prob readback of batch i-1 happens while batch i runs on
+    the device (one-deep dispatch pipeline; jax dispatch is async).
+    `progress`, if given, is called with the running sequence count.
+    """
+    from evo_tpu.io.prefetch import prefetch_map
+
+    if reduce_method == 'mean':
+        reduce_func = np.mean
+    elif reduce_method == 'sum':
+        reduce_func = np.sum
+    else:
+        raise ValueError(f'Invalid reduce_method {reduce_method}')
+
+    def prep(batch):
+        return prepare_batch(batch, tokenizer, prepend_bos=prepend_bos,
+                             pad_to_bucket=pad_to_bucket)
+
+    def finalize(pending):
+        logprobs_dev, seq_lengths = pending
+        logprobs = np.asarray(logprobs_dev, dtype=np.float32)
+        return [float(reduce_func(logprobs[i][:seq_lengths[i]]))
+                for i in range(len(seq_lengths))]
+
+    scores: List[float] = []
+    done = 0
+    pending = None
+    for input_ids, seq_lengths in prefetch_map(prep, seq_batches,
+                                               depth=prefetch_depth):
+        logits, _ = model(input_ids)            # async dispatch
+        logprobs_dev = logits_to_logprobs(logits, input_ids,
+                                          trim_bos=prepend_bos)
+        if pending is not None:
+            out = finalize(pending)             # sync readback of i-1
+            scores += out
+            done += len(out)
+            if progress is not None:
+                progress(done)
+        pending = (logprobs_dev, seq_lengths)
+    if pending is not None:
+        out = finalize(pending)
+        scores += out
+        done += len(out)
+        if progress is not None:
+            progress(done)
+    return scores
+
+
 def positional_entropies(
     seqs: Sequence[str],
     model,

@@ -72,15 +72,14 @@ def main():
     names, seqs = read_fasta(args.input_fasta)
     print(f'Scoring {len(seqs)} sequences...', flush=True)
 
-    scores = []
-    for i in range(0, len(seqs), args.batch_size):
-        batch = seqs[i:i + args.batch_size]
-        scores += score_sequences(
-            batch, evo.model, evo.tokenizer,
-            reduce_method=args.reduce_method,
-            pad_to_bucket=not args.no_bucket)
-        print(f'  {min(i + args.batch_size, len(seqs))}/{len(seqs)}',
-              flush=True)
+    from evo_tpu.scoring import score_stream
+    batches = [seqs[i:i + args.batch_size]
+               for i in range(0, len(seqs), args.batch_size)]
+    scores = score_stream(
+        batches, evo.model, evo.tokenizer,
+        reduce_method=args.reduce_method,
+        pad_to_bucket=not args.no_bucket,
+        progress=lambda done: print(f'  {done}/{len(seqs)}', flush=True))
 
     with open(args.output_tsv, 'w') as f:
         f.write('seqs\tscores\n')

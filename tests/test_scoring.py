@@ -95,3 +95,37 @@ def test_invalid_reduce_method(setup):
     model, tok = setup
     with pytest.raises(ValueError):
         score_sequences(['ACGT'], model, tok, reduce_method='median')
+
+
+def test_score_stream_matches_score_sequences(setup):
+    from evo_tpu.scoring import score_sequences, score_stream
+    model, tokenizer = setup
+    seqs = ['ACGT', 'CAGATTCCATT', 'ACGTACGTACGTACGTACGTACGTACGTACGT',
+            'GG', 'TTTTTTT']
+    want = []
+    for i in range(0, len(seqs), 2):
+        want += score_sequences(seqs[i:i + 2], model, tokenizer,
+                                pad_to_bucket=True)
+    batches = [seqs[i:i + 2] for i in range(0, len(seqs), 2)]
+    seen = []
+    got = score_stream(batches, model, tokenizer, pad_to_bucket=True,
+                       progress=seen.append)
+    assert got == want
+    assert seen[-1] == len(seqs)
+
+
+def test_prefetch_map_order_and_errors():
+    from evo_tpu.io.prefetch import prefetch_map
+    assert list(prefetch_map(lambda x: x * x, range(10), depth=3)) == \
+        [x * x for x in range(10)]
+    assert list(prefetch_map(str, [], depth=2)) == []
+
+    def boom(x):
+        if x == 2:
+            raise ValueError('boom')
+        return x
+    it = prefetch_map(boom, range(5), depth=1)
+    assert next(it) == 0 and next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='boom'):
+        list(it)
