@@ -18,6 +18,10 @@ def iter_fasta(path_or_handle) -> Iterator[Tuple[str, str]]:
     if hasattr(path_or_handle, 'read'):
         handle = path_or_handle
         close = False
+    elif str(path_or_handle).endswith('.gz'):
+        import gzip
+        handle = gzip.open(path_or_handle, 'rt')
+        close = True
     else:
         handle = open(path_or_handle)
         close = True

@@ -111,4 +111,8 @@ def parse_fasta_bytes(data: bytes) -> Tuple[List[str], List[str]]:
 
 def read_fasta_fast(path: str) -> Tuple[List[str], List[str]]:
     with open(path, 'rb') as f:
-        return parse_fasta_bytes(f.read())
+        data = f.read()
+    if data[:2] == b'\x1f\x8b':          # gzip magic: .fa.gz genome dumps
+        import gzip
+        data = gzip.decompress(data)
+    return parse_fasta_bytes(data)

@@ -156,11 +156,16 @@ class Evo:
     validates the model name and yields (model, tokenizer)."""
 
     def __init__(self, model_name: str = 'evo-1-8k-base',
+                 device: Optional[str] = None,
                  checkpoint_path: Optional[str] = None,
                  random_init: bool = False,
                  seed: int = 0,
                  config_overrides: Optional[Dict[str, Any]] = None,
                  mesh=None):
+        # `device` is the reference's second positional arg
+        # (`evo/models.py:22`); kept for call compatibility. Placement on
+        # TPU is governed by the mesh / default device instead.
+        self.device = device
         if model_name not in MODEL_NAMES:
             raise ValueError(
                 f'Invalid model name {model_name}. Options: {MODEL_NAMES}')

@@ -69,3 +69,18 @@ def test_large_file_round_trip_and_speed(tmp_path):
     assert (names, seqs) == _python_parse(text)
     # ~1 MB should parse natively in well under a second
     assert native_dt < 1.0
+
+
+def test_gzip_fasta(tmp_path):
+    import gzip
+    from evo_tpu.io.fasta import read_fasta
+    from evo_tpu.io import fastio
+    content = '>seq1 desc\nACGT\nACGT\n>seq2\nTTTT\n'
+    gz = tmp_path / 'x.fa.gz'
+    with gzip.open(gz, 'wt') as f:
+        f.write(content)
+    names, seqs = read_fasta(str(gz))
+    assert names == ['seq1 desc', 'seq2']
+    assert seqs == ['ACGTACGT', 'TTTT']
+    if fastio.available():
+        assert fastio.read_fasta_fast(str(gz)) == (names, seqs)
