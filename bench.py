@@ -141,11 +141,46 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
     return batch * n_tokens / min(times)
 
 
+def bench_scaling(cfg, batch: int, length: int):
+    """Scaling-efficiency sweep (SURVEY.md §7 Phase 4): prefill tokens/s at
+    every tp that divides the visible device count, dp=1. Returns
+    {tp: tokens/s}. Efficiency = tps[tp] / (tp * tps[1])."""
+    from evo_tpu import model as model_lib
+    from evo_tpu.parallel.mesh import make_mesh
+    from evo_tpu.parallel.sharding import shard_params
+
+    n = jax.device_count()
+    results = {}
+    feasible = [t for t in (1, 2, 4, 8, 16, 32)
+                if t <= n and n % t == 0
+                and cfg.num_attention_heads % t == 0
+                and cfg.hidden_size % t == 0]
+    for tp in feasible:
+        mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
+        params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
+            jax.random.PRNGKey(0))
+        params = shard_params(params, cfg, mesh)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (batch, length)),
+            jnp.int32)
+        fwd = jax.jit(lambda p, i: jnp.sum(
+            model_lib.forward(p, cfg, i), dtype=jnp.float32))
+        float(fwd(params, ids))          # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fwd(params, ids))
+            times.append(time.perf_counter() - t0)
+        results[tp] = batch * length / min(times)
+        del params
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--preset', default='prefill8k',
                     choices=['prefill8k', 'prefill131k', 'decode',
-                             'generate', 'tiny'])
+                             'generate', 'tiny', 'scaling'])
     ap.add_argument('--batch', type=int, default=1)
     ap.add_argument('--length', type=int, default=None)
     ap.add_argument('--profile', default=None, metavar='DIR',
@@ -184,6 +219,18 @@ def main():
     profile_cm = (jax.profiler.trace(args.profile) if args.profile
                   else contextlib.nullcontext())
     with profile_cm:
+        if args.preset == 'scaling':
+            res = bench_scaling(cfg, batch, length or 512)
+            base = res.get(1)
+            print(json.dumps({
+                'metric': f'prefill_scaling_{name}',
+                'value': {str(k): round(v, 2) for k, v in res.items()},
+                'unit': 'tokens/s per mesh (dp=1, tp=k)',
+                'vs_baseline': {
+                    str(k): round(v / (k * base), 4)
+                    for k, v in res.items()} if base else {},
+            }))
+            return
         if args.preset == 'decode':
             tps = bench_decode(cfg, batch, prompt_len=128, steps=64)
             metric = f'decode_tokens_per_sec_per_chip_{name}'

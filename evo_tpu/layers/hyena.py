@@ -37,6 +37,14 @@ from evo_tpu.config import ModelConfig
 from evo_tpu.ops import fftconv
 
 
+def _pallas_enabled(cfg: ModelConfig) -> bool:
+    if cfg.use_pallas == 'never':
+        return False
+    if cfg.use_pallas == 'always':
+        return True
+    return jax.default_backend() == 'tpu'
+
+
 class HyenaState(NamedTuple):
     fir: jax.Array   # (B, 3, C, K-1)
     iir: jax.Array   # (B, C, S, 2) float32
@@ -63,11 +71,18 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     z = jnp.einsum('bld,dtc->btcl', x, p['w_in'].astype(x.dtype))
     if 'b_in' in p:
         z = z + p['b_in'].astype(x.dtype)[None, :, :, None]
-    fir_in_state = state.fir if state is not None else None
-    z, fir_state = fftconv.fir_causal_conv(
-        z, p['fir_w'], p.get('fir_b'), fir_in_state)
-    x2, x1, v = z[:, 0], z[:, 1], z[:, 2]       # (B, C, L) each
-    u = x1 * v
+    if state is None and _pallas_enabled(cfg) and L >= cfg.short_filter_length:
+        # fused FIR+gate kernel (N2, `use_flash_depthwise` slot): emits
+        # (x2, u) without round-tripping the FIR output through HBM
+        from evo_tpu.ops.pallas_fir import fir_gate_pallas
+        x2, u = fir_gate_pallas(z, p['fir_w'], p.get('fir_b'))
+        fir_state = z[..., L - (cfg.short_filter_length - 1):]
+    else:
+        fir_in_state = state.fir if state is not None else None
+        z, fir_state = fftconv.fir_causal_conv(
+            z, p['fir_w'], p.get('fir_b'), fir_in_state)
+        x2, x1, v = z[:, 0], z[:, 1], z[:, 2]   # (B, C, L) each
+        u = x1 * v
     chunked = (cfg.hyena_fft_chunk and L > cfg.hyena_fft_chunk)
     if cfg.hyena_conv_backend == 'matmul':
         # MXU path: chunked Toeplitz matmuls, exact modal cross-chunk carry.

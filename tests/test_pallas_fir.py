@@ -1,0 +1,39 @@
+"""Fused FIR+gate Pallas kernel vs the jnp composition oracle
+(interpret mode on CPU; the real TPU lowering runs in bench/production)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evo_tpu.ops import fftconv
+from evo_tpu.ops.pallas_fir import fir_gate_pallas
+
+
+@pytest.mark.parametrize('B,C,L,bias', [(2, 8, 32, True), (1, 16, 64, False)])
+def test_fir_gate_matches_oracle(B, C, L, bias):
+    K = 3
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    z = jax.random.normal(ks[0], (B, 3, C, L), jnp.float32)
+    w = jax.random.normal(ks[1], (3, C, K), jnp.float32)
+    b = jax.random.normal(ks[2], (3, C), jnp.float32) if bias else None
+
+    zp, _ = fftconv.fir_causal_conv(z, w, b)
+    x2_want, x1, v = zp[:, 0], zp[:, 1], zp[:, 2]
+    u_want = x1 * v
+
+    x2, u = fir_gate_pallas(z, w, b, block_channels=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x2_want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fir_gate_under_jit():
+    B, C, L = 1, 8, 16
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, 3, C, L), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (3, C, 3), jnp.float32)
+    fn = jax.jit(lambda z: fir_gate_pallas(z, w, None, block_channels=8,
+                                           interpret=True))
+    x2, u = fn(z)
+    assert x2.shape == (B, C, L) and u.shape == (B, C, L)
