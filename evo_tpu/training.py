@@ -117,3 +117,52 @@ def make_sharded_train_step(cfg: ModelConfig,
                    in_shardings=(None, data, data),
                    out_shardings=(None, repl),
                    donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Train-state checkpoint / resume (SURVEY.md §5 checkpoint-resume: the
+# reference has no training, so no optimizer state exists there — this is
+# the native-format extension for finetuning runs)
+# ---------------------------------------------------------------------------
+
+def save_train_state(state: TrainState, path: str) -> None:
+    """Write params + optimizer state + step as one orbax checkpoint
+    (sharded-safe: each host writes only the shards it owns)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(os.path.join(path, 'train_state')),
+               {'params': state.params, 'opt_state': state.opt_state,
+                'step': state.step}, force=True)
+
+
+def load_train_state(path: str, template: TrainState,
+                     shardings=None) -> TrainState:
+    """Restore a train state.
+
+    `template`: a TrainState with the target pytree structure (e.g. from
+    `init_train_state` on freshly-initialized params) — orbax flattens
+    optax's NamedTuple states to dicts, so the original structure must be
+    re-imposed. `shardings` (same tree shape, of NamedShardings) places
+    arrays directly on the mesh.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    item = os.path.abspath(os.path.join(path, 'train_state'))
+    as_dict = {'params': template.params, 'opt_state': template.opt_state,
+               'step': template.step}
+    if shardings is None:
+        restore_args = None
+    else:
+        restore_args = jax.tree_util.tree_map(
+            lambda s: ocp.ArrayRestoreArgs(sharding=s),
+            {'params': shardings.params, 'opt_state': shardings.opt_state,
+             'step': shardings.step})
+    tree = ckptr.restore(item, item=as_dict, restore_args=restore_args)
+    return TrainState(params=tree['params'], opt_state=tree['opt_state'],
+                      step=jnp.asarray(tree['step']))
