@@ -115,6 +115,18 @@ class ModelConfig:
         assert sorted(self.attn_layer_idxs + self.hyena_layer_idxs) == \
             list(range(self.num_layers)), 'layer idxs must partition layers'
         assert self.hidden_size % self.num_attention_heads == 0
+        # Engine variants pinned to their defaults in every shipped
+        # inference config (evo-1-8k/131k-base_inference.yml:16,19-20):
+        # fail loudly rather than silently mis-compute if a config asks
+        # for them.
+        if self.proj_groups != 1 or self.smeared_gqa:
+            raise NotImplementedError(
+                'grouped-query attention (proj_groups != 1 / smeared_gqa) '
+                'is not implemented; all reference checkpoints use MHA')
+        if self.hyena_filter_groups not in (0, 1):
+            raise NotImplementedError(
+                'hyena_filter_groups > 1 (shared filters across channel '
+                'groups) is not implemented; reference configs use 1')
 
     # Derived quantities -----------------------------------------------------
 
