@@ -48,11 +48,24 @@ def _rotate(cfg: ModelConfig, q, k, offset):
     return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin)
 
 
-def sdpa_causal(q, k, v, *, use_pallas: bool = False):
-    """Causal self-attention. q,k,v: (B, L, H, Dh). float32 softmax."""
+def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
+    """Causal self-attention. q,k,v: (B, L, H, Dh). float32 softmax.
+
+    With a mesh, the Pallas kernel runs inside `shard_map` (batch on dp,
+    heads on tp) — pallas_call has no GSPMD partitioning rule, so leaving
+    it to the SPMD partitioner would replicate the full attention input.
+    """
     if use_pallas:
         from evo_tpu.ops.pallas_attention import flash_attention_causal
-        return flash_attention_causal(q, k, v)
+        if mesh is None:
+            return flash_attention_causal(q, k, v)
+        from jax.sharding import PartitionSpec as P
+        spec = P('dp', None, 'tp', None)
+        fn = jax.shard_map(
+            lambda a, b, c: flash_attention_causal(a, b, c),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False)
+        return fn(q, k, v)
     B, L, H, Dh = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
     s = jnp.einsum('blhd,bmhd->bhlm', q.astype(jnp.float32),
@@ -74,7 +87,7 @@ def _out(p, x_dtype, y):
     return o
 
 
-def mha_full(p, cfg: ModelConfig, x, *, offset=0,
+def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
              kv_buffers: Optional[Tuple[jax.Array, jax.Array]] = None,
              use_pallas: bool = False, attend_buffer: bool = False):
     """Full-sequence causal attention (prefill / scoring path).
@@ -92,7 +105,7 @@ def mha_full(p, cfg: ModelConfig, x, *, offset=0,
     q, k, v = _qkv(p, cfg, x)
     q, k = _rotate(cfg, q, k, offset)
     if kv_buffers is None:
-        y = sdpa_causal(q, k, v, use_pallas=use_pallas)
+        y = sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
         return _out(p, x.dtype, y), None
 
     k_buf, v_buf = kv_buffers
@@ -101,7 +114,7 @@ def mha_full(p, cfg: ModelConfig, x, *, offset=0,
     v_buf = jax.lax.dynamic_update_slice(
         v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
     if not attend_buffer:
-        y = sdpa_causal(q, k, v, use_pallas=use_pallas)
+        y = sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
         return _out(p, x.dtype, y), (k_buf, v_buf)
 
     B, L, H, Dh = q.shape

@@ -71,11 +71,28 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     z = jnp.einsum('bld,dtc->btcl', x, p['w_in'].astype(x.dtype))
     if 'b_in' in p:
         z = z + p['b_in'].astype(x.dtype)[None, :, :, None]
-    if state is None and _pallas_enabled(cfg) and L >= cfg.short_filter_length:
+    from evo_tpu.ops.pallas_fir import fir_gate_pallas, fir_gate_supported
+    if (state is None and _pallas_enabled(cfg)
+            and L >= cfg.short_filter_length
+            and fir_gate_supported(z.shape, z.dtype)):
         # fused FIR+gate kernel (N2, `use_flash_depthwise` slot): emits
         # (x2, u) without round-tripping the FIR output through HBM
-        from evo_tpu.ops.pallas_fir import fir_gate_pallas
-        x2, u = fir_gate_pallas(z, p['fir_w'], p.get('fir_b'))
+        if mesh is None:
+            x2, u = fir_gate_pallas(z, p['fir_w'], p.get('fir_b'))
+        else:
+            # channel-parallel under TP: run the kernel per shard inside
+            # shard_map (pallas_call has no GSPMD partitioning rule)
+            from jax.sharding import PartitionSpec as P
+            fir_b = p.get('fir_b')
+            if fir_b is None:
+                fir_b = jnp.zeros(p['fir_w'].shape[:-1], z.dtype)
+            x2, u = jax.shard_map(
+                lambda zz, ww, bb: fir_gate_pallas(zz, ww, bb),
+                mesh=mesh,
+                in_specs=(P('dp', None, 'tp', None), P(None, 'tp', None),
+                          P(None, 'tp')),
+                out_specs=(P('dp', 'tp', None), P('dp', 'tp', None)),
+                check_vma=False)(z, p['fir_w'], fir_b)
         fir_state = z[..., L - (cfg.short_filter_length - 1):]
     else:
         fir_in_state = state.fir if state is not None else None
@@ -89,11 +106,23 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
         # Handles fresh prefill, segment continuation, and state collection
         # uniformly (the final state falls out of the chunk prefix for free).
         chunk = cfg.hyena_matmul_chunk
-        if state is not None and L % chunk:
-            chunk = L   # continuation requires chunk | L
-        y, iir = fftconv.conv_matmul_chunked(
-            u, p['poles'], p['residues'], chunk,
-            state=state.iir if state is not None else None)
+        if state is not None and L > chunk and L % chunk:
+            # continuation requires chunk | L: run the aligned prefix
+            # chunked, then the short remainder seeded with the carried
+            # state (falling back to chunk=L would build a (D, L, L)
+            # Toeplitz — OOM at realistic segment lengths)
+            split = (L // chunk) * chunk
+            y1, s_mid = fftconv.conv_matmul_chunked(
+                u[..., :split], p['poles'], p['residues'], chunk,
+                state=state.iir)
+            y2, iir = fftconv.conv_matmul_chunked(
+                u[..., split:], p['poles'], p['residues'], chunk,
+                state=s_mid)
+            y = jnp.concatenate([y1, y2], axis=-1)
+        else:
+            y, iir = fftconv.conv_matmul_chunked(
+                u, p['poles'], p['residues'], chunk,
+                state=state.iir if state is not None else None)
     elif state is not None:
         # segment continuation: the chunked conv consumes the carried modal
         # state exactly (chunk must divide L; fall back to one L-chunk)

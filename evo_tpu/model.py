@@ -43,12 +43,8 @@ def _dtype(name: str):
     return jnp.dtype(name)
 
 
-def _use_pallas(cfg: ModelConfig) -> bool:
-    if cfg.use_pallas == 'never':
-        return False
-    if cfg.use_pallas == 'always':
-        return True
-    return jax.default_backend() == 'tpu'
+# single source of truth for the use_pallas='never'/'always'/'auto' gate
+from evo_tpu.layers.hyena import _pallas_enabled as _use_pallas  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -238,10 +234,10 @@ def _unembed(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
 
 def _attn_block_full(blk: Params, x: jax.Array, *, cfg: ModelConfig,
-                     up: bool) -> jax.Array:
+                     up: bool, mesh=None) -> jax.Array:
     """One pre-norm residual attention block, full-sequence path."""
     h = rmsnorm(x, blk['pre_norm'], cfg.eps)
-    mix, _ = mha_full(blk['attn'], cfg, h, use_pallas=up)
+    mix, _ = mha_full(blk['attn'], cfg, h, use_pallas=up, mesh=mesh)
     x = x + mix
     return x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
                          cfg.mlp_activation)
@@ -275,7 +271,8 @@ def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
     x = _embed(params, cfg, ids)
     for (kind, _idxs), seg in zip(cfg.layer_segments(), params['segments']):
         if kind == 'attn':
-            block = functools.partial(_attn_block_full, cfg=cfg, up=up)
+            block = functools.partial(_attn_block_full, cfg=cfg, up=up,
+                                      mesh=mesh)
             if cfg.remat:
                 block = jax.checkpoint(block)
             x = block(seg, x)
@@ -314,7 +311,8 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
         st = cache['layers'][si]
         if kind == 'attn':
             h = rmsnorm(x, seg['pre_norm'], cfg.eps)
-            mix, kv = mha_full(seg['attn'], cfg, h, offset=offset,
+            mix, kv = mha_full(seg['attn'], cfg, h, mesh=mesh,
+                               offset=offset,
                                kv_buffers=(st['k'], st['v']),
                                use_pallas=up, attend_buffer=resume)
             new_layers.append({'k': kv[0], 'v': kv[1]})

@@ -158,8 +158,11 @@ def fft_causal_conv_chunked(u: jax.Array, poles: jax.Array,
     part #3). Returns (y (B, D, L) float32, state (B, D, S, 2) float32
     after the last chunk) so segments can be streamed.
 
-    u: (B, D, L); poles/residues: (D, S, 2) float32. L is right-padded to a
-    multiple of `chunk` internally (zeros don't perturb the state).
+    u: (B, D, L); poles/residues: (D, S, 2) float32. L is LEFT-padded to a
+    multiple of `chunk` internally — leading zeros convolve to zero and
+    inject nothing into the state, so the returned state is exactly the
+    state at position L. (Right-padding would decay the state by p^pad
+    past L — do not "simplify" this.)
     """
     B, D, L = u.shape
     S = poles.shape[1]

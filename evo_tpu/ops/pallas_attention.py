@@ -95,12 +95,16 @@ def _flash_bhld(q, k, v, *, block_q: int, block_k: int,
     )(q, k, v)
 
 
-def flash_attention_causal(q, k, v, *, block_q: int = 256,
-                           block_k: int = 256, interpret: bool = False):
+def flash_attention_causal(q, k, v, *, block_q: int = 2048,
+                           block_k: int = 512, interpret: bool = False):
     """Causal SDPA. q, k, v: (B, L, H, Dh) -> (B, L, H, Dh), q.dtype.
 
     Contract identical to the naive `sdpa_causal` oracle
     (layers/attention.py); tested against it in tests/test_pallas_attention.py.
+
+    Default blocks from an on-chip sweep at (L=8192, H=32, Dh=128) on
+    v5e: (2048, 512) runs ~9x faster than (256, 256) — tall q blocks
+    amortize the k-loop's softmax rescaling; 4096+ q rows exceed VMEM.
     """
     B, L, H, Dh = q.shape
     bq = min(block_q, max(8, L))

@@ -48,10 +48,37 @@ def _fir_gate_kernel(z_ref, w_ref, b_ref, x2_ref, u_ref, *, K: int,
                      zf[:, :L - shift]], axis=1)
                 acc = acc + tap * zs
         acc = acc + b[s][:, None]
-        outs.append(acc)
+        # round to the activation dtype BEFORE gating, bit-matching the
+        # jnp composition (fir_causal_conv casts its output to z.dtype,
+        # then the gate multiplies in that dtype)
+        outs.append(acc.astype(x2_ref.dtype))
     x2, x1, v = outs
-    x2_ref[0] = x2.astype(x2_ref.dtype)
-    u_ref[0] = (x1 * v).astype(u_ref.dtype)
+    x2_ref[0] = x2
+    u_ref[0] = x1 * v
+
+
+def _pick_bc(shape, dtype):
+    """Largest VMEM-feasible channel block (multiple of 8 dividing C), or
+    None when even the smallest block exceeds the budget / no block
+    divides C."""
+    _, _, C, L = shape
+    itemsize = jnp.dtype(dtype).itemsize
+    # working set per channel row: z block (3 streams) + 2 outputs in the
+    # activation dtype, plus ~3 float32 temporaries inside the kernel
+    per_chan = L * itemsize * (3 + 2) + L * 4 * 3
+    budget = 10 * 2 ** 20
+    cap = budget // per_chan
+    if C <= cap and (C % 8 == 0 or C <= 128):
+        return C            # whole-channel block (exempt from blocking rule)
+    bc = min(128, cap // 8 * 8)
+    while bc >= 8 and C % bc:
+        bc -= 8
+    return bc if bc >= 8 else None
+
+
+def fir_gate_supported(shape, dtype) -> bool:
+    """True when the fused kernel has a feasible blocking for this shape."""
+    return _pick_bc(shape, dtype) is not None
 
 
 def fir_gate_pallas(z, w, b=None, block_channels: int = 64,
@@ -60,22 +87,18 @@ def fir_gate_pallas(z, w, b=None, block_channels: int = 64,
 
     Returns (x2 (B, C, L), u (B, C, L)) in z.dtype, exactly matching
         z' = fir_causal_conv(z, w, b)[0]; x2, x1, v = z'; u = x1 * v
-    for the fresh-sequence case (zero initial FIR state).
+    for the fresh-sequence case (zero initial FIR state): FIR outputs are
+    rounded to z.dtype before the gate, as the jnp composition does.
     """
     B, three, C, L = z.shape
     assert three == 3
     K = w.shape[-1]
-    # VMEM budget: z block (3 streams, in + fp32 working set) + outputs;
-    # shrink the channel block as L grows (131k-context safety). Must be a
-    # multiple of 8 (sublane) dividing C.
-    itemsize = jnp.dtype(z.dtype).itemsize
-    per_chan = L * itemsize * (3 + 2) + L * 4 * 3
-    bc = min(block_channels, max(8, (8 * 2 ** 20) // per_chan // 8 * 8))
-    while C % bc or bc % 8:
-        bc -= 1 if bc > 1 else 0
-        if bc < 8:
-            bc = C          # tiny C (tests): whole-array block is exempt
-            break
+    bc = _pick_bc(z.shape, z.dtype)
+    if bc is None:
+        raise ValueError(
+            f'fir_gate_pallas: no VMEM-feasible channel block for shape '
+            f'{z.shape} — gate with fir_gate_supported() first')
+    bc = min(bc, block_channels if C % block_channels == 0 else bc)
     # (C//bc, 3K, bc) / (C//bc, 3, bc): one slab per channel block
     wt = jnp.swapaxes(
         w.reshape(3, C // bc, bc, K), 2, 3).reshape(3, C // bc, K * bc)

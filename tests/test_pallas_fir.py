@@ -37,3 +37,27 @@ def test_fir_gate_under_jit():
                                            interpret=True))
     x2, u = fn(z)
     assert x2.shape == (B, C, L) and u.shape == (B, C, L)
+
+
+def test_fir_gate_sharded_specs():
+    """The shard_map composition used by hyena_full under a mesh (channel
+    axis on tp) matches the unsharded kernel (interpret mode on the CPU
+    mesh)."""
+    from jax.sharding import PartitionSpec as P
+    from evo_tpu.parallel.mesh import make_mesh
+    B, C, L = 2, 16, 32
+    mesh = make_mesh(dp=2, tp=4)
+    z = jax.random.normal(jax.random.PRNGKey(3), (B, 3, C, L), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (3, C, 3), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(5), (3, C), jnp.float32)
+    want = fir_gate_pallas(z, w, b, interpret=True)
+    got = jax.shard_map(
+        lambda zz, ww, bb: fir_gate_pallas(zz, ww, bb, interpret=True),
+        mesh=mesh,
+        in_specs=(P('dp', None, 'tp', None), P(None, 'tp', None),
+                  P(None, 'tp')),
+        out_specs=(P('dp', 'tp', None), P('dp', 'tp', None)),
+        check_vma=False)(z, w, b)
+    for g, wnt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                   rtol=1e-5, atol=1e-5)
