@@ -240,15 +240,19 @@ def load_reference_checkpoint(path: str, cfg: ModelConfig,
                               shardings=None) -> Dict[str, Any]:
     """safetensors snapshot -> evo_tpu params (optionally placed on a mesh).
 
-    `shardings`: a pytree of NamedSharding matching the param tree; each
-    converted tensor is device_put to its sharding as it is built, so peak
-    host memory stays ~one full copy (the torch arrays) rather than two.
+    `shardings`: a pytree of NamedSharding matching the param tree.
+    Conversion runs pinned to the host CPU device, so the full-size model
+    never materializes on accelerator 0 — each leaf then device_puts
+    straight into its (sharded) placement. Peak memory: one full copy on
+    the host, only the local shards on each chip.
     """
     sd = strip_backbone_prefix(read_safetensors_state_dict(path))
-    params = convert_state_dict(sd, cfg)
-    if shardings is not None:
-        params = jax.device_put(params, shardings)
-    return params
+    cpu = jax.devices('cpu')[0] if shardings is not None else None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            params = convert_state_dict(sd, cfg)
+        return jax.device_put(params, shardings)
+    return convert_state_dict(sd, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,11 @@ def _grow_cache(cache, cfg: ModelConfig, needed_len: int):
             current = layer['k'].shape[1]
             break
     if current is None or current >= needed_len:
-        return cache
+        # copy: the generate program donates its cache argument, and the
+        # reference contract keeps the caller's inference_params_dict
+        # valid for reuse (evo/generation.py:105-114)
+        return jax.tree_util.tree_map(
+            lambda x: x.copy() if hasattr(x, 'copy') else x, cache)
     pad = needed_len - current
     new_layers = []
     for layer in cache['layers']:

@@ -100,6 +100,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
             z, p['fir_w'], p.get('fir_b'), fir_in_state)
         x2, x1, v = z[:, 0], z[:, 1], z[:, 2]   # (B, C, L) each
         u = x1 * v
+    skip_done = False
     chunked = (cfg.hyena_fft_chunk and L > cfg.hyena_fft_chunk)
     if cfg.hyena_conv_backend == 'matmul':
         # MXU path: chunked Toeplitz matmuls, exact modal cross-chunk carry.
@@ -114,15 +115,17 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
             split = (L // chunk) * chunk
             y1, s_mid = fftconv.conv_matmul_chunked(
                 u[..., :split], p['poles'], p['residues'], chunk,
-                state=state.iir)
+                state=state.iir, d_skip=p['d_skip'])
             y2, iir = fftconv.conv_matmul_chunked(
                 u[..., split:], p['poles'], p['residues'], chunk,
-                state=s_mid)
+                state=s_mid, d_skip=p['d_skip'])
             y = jnp.concatenate([y1, y2], axis=-1)
         else:
             y, iir = fftconv.conv_matmul_chunked(
                 u, p['poles'], p['residues'], chunk,
-                state=state.iir if state is not None else None)
+                state=state.iir if state is not None else None,
+                d_skip=p['d_skip'])
+        skip_done = True
     elif state is not None:
         # segment continuation: the chunked conv consumes the carried modal
         # state exactly (chunk must divide L; fall back to one L-chunk)
@@ -143,8 +146,9 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
         h, u = jax.lax.optimization_barrier((h, u))
         y = fftconv.fft_causal_conv(u, h, mesh=mesh)
         iir = None
-    y = y + p['d_skip'].astype(jnp.float32)[None, :, None] * \
-        u.astype(jnp.float32)
+    if not skip_done:
+        y = y + p['d_skip'].astype(jnp.float32)[None, :, None] * \
+            u.astype(jnp.float32)
     y = x2 * y.astype(x.dtype)
     out = _out_proj(p, jnp.swapaxes(y, 1, 2))
     new_state = None

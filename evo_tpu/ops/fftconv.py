@@ -245,7 +245,7 @@ def _pole_pow_tables(logmag, theta, exps):
 
 def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
                         chunk: int = 128, state: jax.Array | None = None,
-                        mesh=None):
+                        mesh=None, d_skip: jax.Array | None = None):
     """Fully-parallel chunked causal conv recast as MXU matmuls.
 
     Same contract as `fft_causal_conv_chunked` (returns (y (B, D, L) f32,
@@ -268,6 +268,10 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
     (BASELINE.md 2026-08-17 decomposition). `mesh` is accepted for
     interface parity and ignored: every op is batched over channels, so
     GSPMD shards it with zero communication.
+
+    `d_skip` (D,), when given, is folded into the Toeplitz diagonal so the
+    returned y already includes the skip term d_skip * u — one fewer
+    full-size float32 elementwise pass than adding it outside.
     """
     del mesh
     B, D, L = u.shape
@@ -300,6 +304,9 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
     delta = t_idx[:, None] - t_idx[None, :]                   # (C, C)
     toep = jnp.take(h_local, jnp.maximum(delta, 0), axis=1) * \
         (delta >= 0).astype(jnp.float32)[None]                # (D, C, C)
+    if d_skip is not None:
+        toep = toep + d_skip.astype(jnp.float32)[:, None, None] * \
+            jnp.eye(C, dtype=jnp.float32)[None]
 
     uc = u32.reshape(B, D, K, C)
     # HIGH = bf16_3x on TPU (~1e-6 rel): ample for 1e-3 parity,

@@ -32,8 +32,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     No-ops when the process is already initialized or when running
     single-process with no coordinator configured (env vars absent).
     """
-    if jax.process_count() > 1:
-        return
+    # Env guard FIRST, touching no jax state: calling jax.process_count()
+    # (or any devices() path) initializes the local XLA backend, after
+    # which jax.distributed.initialize unconditionally raises — the guard
+    # itself would make multi-host init impossible.
     if coordinator_address is None \
             and 'JAX_COORDINATOR_ADDRESS' not in os.environ \
             and 'COORDINATOR_ADDRESS' not in os.environ:
@@ -45,8 +47,19 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
             return
-        except Exception as e:                        # noqa: BLE001
+        except RuntimeError as e:
+            msg = str(e)
+            if 'already initialized' in msg:
+                return              # idempotent re-entry
+            if 'backends are initialized' in msg or \
+                    'backends_are_initialized' in msg:
+                raise RuntimeError(
+                    'initialize_distributed must run before any other jax '
+                    'call (the XLA backend is already initialized)') from e
             last_err = e
+            time.sleep(retry_delay * (attempt + 1))
+        except Exception as e:                        # noqa: BLE001
+            last_err = e            # coordinator not up yet etc. — retry
             time.sleep(retry_delay * (attempt + 1))
     raise RuntimeError(
         f'jax.distributed.initialize failed after {retries} attempts'
@@ -93,8 +106,21 @@ def write_shard_manifest(work_dir: str, names: Sequence[str],
     shards = [list(names[i::num_shards]) for i in range(num_shards)]
     path = Path(work_dir)
     path.mkdir(parents=True, exist_ok=True)
-    if jax.process_index() == 0:
-        with open(path / 'manifest.json', 'w') as f:
+    manifest = path / 'manifest.json'
+    if manifest.exists():
+        # resume: the done-markers are only valid for the sharding they
+        # were written under — refuse to silently remix shard membership
+        with open(manifest) as f:
+            prev = json.load(f)
+        if prev.get('num_shards') != num_shards or \
+                prev.get('shards') != shards:
+            raise ValueError(
+                f'{manifest} holds a different sharding (num_shards='
+                f'{prev.get("num_shards")} vs {num_shards}, or changed '
+                'inputs); clear the work_dir or rerun with the original '
+                'settings')
+    elif jax.process_index() == 0:
+        with open(manifest, 'w') as f:
             json.dump({'num_shards': num_shards, 'shards': shards}, f)
     return shards
 
@@ -128,25 +154,28 @@ def score_fasta_sharded(
     from evo_tpu.io.fasta import read_fasta
 
     names, seqs = read_fasta(fasta_path)
-    by_name = dict(zip(names, seqs))
     pc = jax.process_count()
     num_shards = num_shards or pc
-    shards = write_shard_manifest(work_dir, names, num_shards)
+    # shard by record INDEX, not name: FASTA names may repeat, and a
+    # name->seq dict would silently score the last duplicate for all
+    idx_shards = [list(range(len(names)))[i::num_shards]
+                  for i in range(num_shards)]
+    write_shard_manifest(work_dir, names, num_shards)
     my_shards = split_for_process(list(range(num_shards)))
 
     for shard_idx in my_shards:
         if shard_done(work_dir, shard_idx):
             continue
-        shard_names = shards[shard_idx]
+        idxs = idx_shards[shard_idx]
         out_path = Path(work_dir) / f'shard_{shard_idx}.csv'
         with open(out_path, 'w', newline='') as f:
             writer = csv.writer(f)
             writer.writerow(['name', 'score'])
-            for i in range(0, len(shard_names), batch_size):
-                batch_names = shard_names[i:i + batch_size]
-                scores = score_fn([by_name[n] for n in batch_names])
-                for n, s in zip(batch_names, scores):
-                    writer.writerow([n, s])
+            for i in range(0, len(idxs), batch_size):
+                batch_idx = idxs[i:i + batch_size]
+                scores = score_fn([seqs[j] for j in batch_idx])
+                for j, s in zip(batch_idx, scores):
+                    writer.writerow([names[j], s])
         mark_shard_done(work_dir, shard_idx)
 
     # barrier so host 0 merges only after everyone finished
@@ -162,7 +191,11 @@ def score_fasta_sharded(
         for shard_idx in range(num_shards):
             shard_csv = Path(work_dir) / f'shard_{shard_idx}.csv'
             if not shard_csv.exists():
-                continue
+                # all shards finished (barrier above) — a missing file
+                # means work_dir is not a shared filesystem
+                raise FileNotFoundError(
+                    f'{shard_csv} missing after the completion barrier: '
+                    'work_dir must be on a filesystem shared by all hosts')
             with open(shard_csv) as f:
                 reader = csv.reader(f)
                 next(reader, None)

@@ -12,8 +12,9 @@ SURVEY.md §2.A "Parallelism strategy inventory"):
     channels with zero sequence-axis communication — the property that makes
     Hyena exceptionally TP-friendly (SURVEY.md §5 long-context plan);
   * MLP: w1/w2 column-, w3 row-sharded;
-  * embedding/unembed: model-dim sharded (the logit contraction over D
-    becomes a psum; vocab is only 512 so replicated logits are cheap);
+  * embedding/unembed: replicated — the table is 512 x 4096 bf16 = 4 MB,
+    so replication is free and keeps the token one-hot matmul and the
+    tied-unembed logit contraction collective-free;
   * norms and biases-after-row-matmuls: replicated.
 
 Decode caches shard batch on `dp` and heads/channels on `tp`, so a decode

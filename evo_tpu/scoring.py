@@ -97,8 +97,11 @@ def score_sequences(
     input_ids, seq_lengths = prepare_batch(
         seqs, tokenizer, prepend_bos=prepend_bos, pad_to_bucket=pad_to_bucket)
     logits, _ = model(input_ids)
+    # reference always trims (evo/scoring.py:83 passes trim_bos=True even
+    # with prepend_bos=False) — the trim is what pairs position-t logits
+    # with the t+1 target, so it is required for correct likelihoods
     logprobs = np.asarray(
-        logits_to_logprobs(logits, input_ids, trim_bos=prepend_bos),
+        logits_to_logprobs(logits, input_ids, trim_bos=True),
         dtype=np.float32)
     return [float(reduce_func(logprobs[i][:seq_lengths[i]]))
             for i in range(len(seq_lengths))]
@@ -149,7 +152,7 @@ def score_stream(
                                                depth=prefetch_depth):
         logits, _ = model(input_ids)            # async dispatch
         logprobs_dev = logits_to_logprobs(logits, input_ids,
-                                          trim_bos=prepend_bos)
+                                          trim_bos=True)
         if pending is not None:
             out = finalize(pending)             # sync readback of i-1
             scores += out

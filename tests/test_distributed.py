@@ -52,3 +52,34 @@ def test_score_fasta_sharded_restartable(tmp_path):
     dist.score_fasta_sharded(str(fasta), str(tmp_path / 'work'), score_fn,
                              num_shards=3, batch_size=2)
     assert len(calls) == n_calls
+
+
+def test_sharded_scoring_duplicate_names(tmp_path):
+    """Duplicate FASTA record names must be scored per-record, not
+    deduplicated through a name dict."""
+    from evo_tpu.io.fasta import write_fasta
+    from evo_tpu.parallel.distributed import score_fasta_sharded
+    fa = tmp_path / 'dup.fasta'
+    write_fasta(str(fa), ['a', 'a', 'b'], ['ACGT', 'TT', 'GGGGGG'])
+    out = score_fasta_sharded(str(fa), str(tmp_path / 'wd'),
+                              score_fn=lambda batch: [float(len(s))
+                                                      for s in batch],
+                              num_shards=2, batch_size=2)
+    import csv
+    with open(out) as f:
+        rows = list(csv.reader(f))[1:]
+    scores = sorted((n, float(s)) for n, s in rows)
+    assert scores == [('a', 2.0), ('a', 4.0), ('b', 6.0)]
+
+
+def test_sharded_scoring_rejects_resharded_resume(tmp_path):
+    from evo_tpu.io.fasta import write_fasta
+    from evo_tpu.parallel.distributed import score_fasta_sharded
+    fa = tmp_path / 'x.fasta'
+    write_fasta(str(fa), ['a', 'b', 'c'], ['AC', 'GT', 'CC'])
+    wd = str(tmp_path / 'wd')
+    score_fasta_sharded(str(fa), wd, score_fn=lambda b: [0.0] * len(b),
+                        num_shards=2)
+    with pytest.raises(ValueError, match='different sharding'):
+        score_fasta_sharded(str(fa), wd, score_fn=lambda b: [0.0] * len(b),
+                            num_shards=3)

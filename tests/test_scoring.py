@@ -129,3 +129,24 @@ def test_prefetch_map_order_and_errors():
     import pytest as _pytest
     with _pytest.raises(ValueError, match='boom'):
         list(it)
+
+
+def test_no_bos_scoring_uses_next_token_pairing(setup):
+    """With prepend_bos=False the reference still trims (evo/scoring.py:83):
+    position-t logits score token t+1. The score must equal the manual
+    next-token computation."""
+    from evo_tpu.scoring import score_sequences
+    model, tokenizer = setup
+    seq = 'ACGTACGTACG'
+    ids, _ = prepare_batch([seq], tokenizer, prepend_bos=False)
+    logits, _ = model(ids)
+    import jax.numpy as jnp
+    logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(logits, jnp.float32), axis=-1))
+    manual = [logp[0, t, int(ids[0, t + 1])]
+              for t in range(len(seq) - 1)]
+    got = score_sequences([seq], model, tokenizer, prepend_bos=False,
+                          reduce_method='sum')[0]
+    # reference slices [:seq_len] over the L-1 trimmed positions -> the
+    # sum covers exactly the L-1 next-token terms
+    np.testing.assert_allclose(got, float(np.sum(manual)), rtol=1e-5)
