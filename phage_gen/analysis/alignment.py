@@ -25,20 +25,27 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def global_align(a: str, b: str, match: int = 1, mismatch: int = -1,
-                 gap: int = -2) -> Tuple[str, str, int]:
-    """Needleman-Wunsch with linear gaps -> (aligned_a, aligned_b, score)."""
+                 gap: int = -2,
+                 terminal_free: bool = False) -> Tuple[str, str, int]:
+    """Needleman-Wunsch with linear gaps -> (aligned_a, aligned_b, score).
+
+    terminal_free=True leaves leading/trailing gaps unpenalized (the
+    biotite `align_optimal(terminal_penalty=False)` convention used by the
+    reference pipeline's identity filter)."""
     n, m = len(a), len(b)
     if n == 0 or m == 0:
-        return '-' * m + a, b + '-' * n, gap * (n + m)
+        return '-' * m + a, b + '-' * n, 0 if terminal_free else gap * (n + m)
     av = np.frombuffer(a.upper().encode(), dtype=np.uint8)
     bv = np.frombuffer(b.upper().encode(), dtype=np.uint8)
 
-    prev = (np.arange(m + 1) * gap).astype(np.int64)
+    prev = (np.zeros(m + 1) if terminal_free
+            else np.arange(m + 1) * gap).astype(np.int64)
     # traceback bits: from_left[i, j], diag_ge_up[i, j]
     from_left = np.zeros((n + 1, m + 1), dtype=bool)
     diag_ge_up = np.zeros((n + 1, m + 1), dtype=bool)
     from_left[0, 1:] = True
 
+    last_col = np.zeros(n + 1, dtype=np.int64)
     offsets = np.arange(m + 1) * gap           # j * gap
     for i in range(1, n + 1):
         sub = np.where(bv == av[i - 1], match, mismatch)
@@ -59,12 +66,29 @@ def global_align(a: str, b: str, match: int = 1, mismatch: int = -1,
         from_left[i, 0] = False
         diag_ge_up[i, 1:] = diag >= up
         prev = cur
+        if terminal_free:
+            last_col[i] = cur[m]
     score = int(prev[m])
 
-    # traceback
+    # traceback start: with free terminal gaps the alignment may end
+    # anywhere on the last row/column (the cheaper endpoint wins)
+    end_i, end_j = n, m
+    tail_a, tail_b = '', ''
+    if terminal_free:
+        bi = int(np.argmax(last_col[1:]) + 1)
+        bj = int(np.argmax(prev))
+        if last_col[bi] >= prev[bj]:
+            score = int(last_col[bi])
+            end_i, end_j = bi, m
+            tail_a, tail_b = a[bi:], '-' * (n - bi)
+        else:
+            score = int(prev[bj])
+            end_i, end_j = n, bj
+            tail_a, tail_b = '-' * (m - bj), b[bj:]
+
     out_a: List[str] = []
     out_b: List[str] = []
-    i, j = n, m
+    i, j = end_i, end_j
     while i > 0 or j > 0:
         if i == 0:
             out_a.append('-')
@@ -85,19 +109,33 @@ def global_align(a: str, b: str, match: int = 1, mismatch: int = -1,
             out_b.append(b[j - 1])
             i -= 1
             j -= 1
-    return ''.join(reversed(out_a)), ''.join(reversed(out_b)), score
+    return (''.join(reversed(out_a)) + tail_a,
+            ''.join(reversed(out_b)) + tail_b, score)
 
 
-def percent_identity(a: str, b: str, **align_kwargs) -> float:
-    """Global-alignment identity over mutually aligned columns, 0-100."""
+def percent_identity(a: str, b: str, mode: str = 'aligned',
+                     **align_kwargs) -> float:
+    """Global-alignment identity, 0-100.
+
+    mode='aligned': matches / mutually aligned (non-gap) columns.
+    mode='not_terminal': biotite's default — matches / all columns
+    between the first and last mutually aligned column, so INTERNAL gap
+    columns count against identity (an insertion lowers the score) while
+    terminal overhangs do not.
+    """
     aa, bb, _ = global_align(a, b, **align_kwargs)
-    matches = cols = 0
-    for x, y in zip(aa, bb):
-        if x != '-' and y != '-':
-            cols += 1
-            if x == y:
-                matches += 1
-    return matches / cols * 100 if cols else 0.0
+    pair_cols = [k for k, (x, y) in enumerate(zip(aa, bb))
+                 if x != '-' and y != '-']
+    if not pair_cols:
+        return 0.0
+    matches = sum(1 for x, y in zip(aa, bb)
+                  if x != '-' and y != '-' and x == y)
+    if mode == 'aligned':
+        return matches / len(pair_cols) * 100
+    if mode == 'not_terminal':
+        span = pair_cols[-1] - pair_cols[0] + 1
+        return matches / span * 100
+    raise ValueError(f'unknown identity mode {mode!r}')
 
 
 # ---------------------------------------------------------------------------

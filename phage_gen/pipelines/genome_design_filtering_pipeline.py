@@ -445,6 +445,11 @@ def convert_m8_to_df(m8_file_path: str, descriptive_prefix: str):
     cols = ['id_prompt', f'{descriptive_prefix}_mmseqs_target',
             f'{descriptive_prefix}_mmseqs_percent_identity',
             f'{descriptive_prefix}_mmseqs_e_value']
+    if os.path.getsize(m8_file_path) == 0:
+        # zero hits (e.g. genuinely novel designs): keep-all semantics of
+        # valid_mmseqs_pident (no-hit -> identity 0) requires an empty df,
+        # not an EmptyDataError crash
+        return pd.DataFrame(columns=cols)
     df = pd.read_csv(m8_file_path, sep='\t', header=None, names=cols)
     return df.loc[df.groupby('id_prompt')[
         f'{descriptive_prefix}_mmseqs_percent_identity'].idxmax()]
@@ -471,12 +476,16 @@ def valid_mmseqs_pident(mmseqs_df, descriptive_prefix: str, pident_range,
     return merged[(merged[pid_col] >= lo) & (merged[pid_col] <= hi)]
 
 
-def _needleman_wunsch_identity(a: str, b: str, match: int = 1,
-                               mismatch: int = -1, gap: int = -2) -> float:
-    """Global-alignment percent identity (vectorized NW; see
-    phage_gen.analysis.alignment)."""
+def _needleman_wunsch_identity(a: str, b: str) -> float:
+    """Global-alignment percent identity matching the reference's biotite
+    call (`align_optimal(std_nucleotide_matrix, terminal_penalty=False)` +
+    `get_pairwise_sequence_identity` default mode, reference :776-797):
+    NUC-matrix scores (match 5 / mismatch -4 / gap -10), free terminal
+    gaps, identity over the non-terminal alignment span (internal gap
+    columns count against identity)."""
     from phage_gen.analysis.alignment import percent_identity
-    return percent_identity(a, b, match=match, mismatch=mismatch, gap=gap)
+    return percent_identity(a, b, match=5, mismatch=-4, gap=-10,
+                            terminal_free=True, mode='not_terminal')
 
 
 def calculate_pident_to_ref(query_sequence: str,
@@ -673,21 +682,6 @@ def annotate_phrogs_hits(phrogs_mmseqs_hits_file: str,
     hits = hits.merge(annot[['phrog_number', 'annot', 'category']],
                       on='phrog_number', how='left')
     return hits.drop(columns=['phrog_number'])
-
-
-def annotate_protein_hits(mmseqs_hits_file: str,
-                          database_annotation_file: str):
-    """Generic annotation join by hit_label (non-PHROGs databases)."""
-    import pandas as pd
-    hits = pd.read_csv(mmseqs_hits_file)
-    annot = pd.read_csv(database_annotation_file, sep='\t')
-    hits['protein_database_mmseqs_target'] = \
-        hits['protein_database_mmseqs_target'].astype(str)
-    annot['protein_database_mmseqs_target'] = \
-        annot['hit_label'].astype(str)
-    return hits.merge(
-        annot[['protein_database_mmseqs_target', 'annot', 'category']],
-        on='protein_database_mmseqs_target', how='left')
 
 
 def extract_orf_positions_from_protein_database_hits(
@@ -958,6 +952,97 @@ def count_total_num_genes(gff_directory: str, results_csv: str) -> None:
     merged.to_csv(results_csv, index=False)
 
 
+def count_syntenic_genes_all(root_dir: str, gff_dir: str, input_csv: str,
+                             output_csv: str) -> None:
+    """Per-genome syntenic gene counts from the lovis4u mmseqs clustering
+    output, plus non-syntenic gene/annotation columns (reference
+    `genome_design_filtering_pipeline.py:1864-1987`): a syntenic pair is a
+    cluster row joining genes from two DIFFERENT genomes."""
+    import pandas as pd
+
+    def prefix_of(ident: str) -> str:
+        m = re.match(r'^(.*?)ORF', str(ident))
+        return m.group(1) if m else str(ident)
+
+    def gene_of(ident: str) -> str:
+        m = re.search(r'ORF\.\d+', str(ident))
+        return m.group(0) if m else str(ident)
+
+    syn_counts: Dict[str, int] = {}
+    non_genes: Dict[str, str] = {}
+    non_ann: Dict[str, str] = {}
+    if not os.path.exists(root_dir):
+        print(f'count_syntenic_genes_all: {root_dir} does not exist')
+        return
+    for sub in sorted(os.listdir(root_dir)):
+        subp = os.path.join(root_dir, sub)
+        if not (os.path.isdir(subp) and sub.startswith('genome_')):
+            continue
+        mm = os.path.join(subp, 'mmseqs', 'mmseqs_clustering.tsv')
+        gff = os.path.join(gff_dir, f'{sub}.gff')
+        if not (os.path.exists(mm) and os.path.exists(gff)):
+            print(f'count_syntenic_genes_all: missing files for {sub}')
+            continue
+        df = pd.read_csv(mm, sep='\t', header=None, names=['col1', 'col2'])
+        mism = df[df['col1'] != df['col2']].copy()
+        pairs = mism[mism['col1'].map(prefix_of)
+                     != mism['col2'].map(prefix_of)]
+        syn_counts[sub] = len(pairs)
+        genes = set(pairs.loc[pairs['col1'].str.startswith('genome_'),
+                              'col1'].map(gene_of)) | \
+            set(pairs.loc[pairs['col2'].str.startswith('genome_'),
+                          'col2'].map(gene_of))
+        all_genes: Dict[str, str] = {}
+        for cols, attrs in _iter_gff_features(gff):
+            gid = attrs.get('ID')
+            prod = attrs.get('product') or 'Unknown gene'
+            if not prod or prod.lower() == 'nan':
+                prod = 'Unknown gene'
+            if gid and gid.startswith('ORF'):
+                all_genes[gid] = prod
+        non = sorted(set(all_genes) - genes)
+        non_genes[sub] = ','.join(non)
+        non_ann[sub] = ','.join(all_genes[g] for g in non)
+    out = pd.read_csv(input_csv)
+    out['num_syntenic_genes'] = out['genome_id'].map(syn_counts) \
+        .fillna(0).astype(int)
+    out['non_syntenic_genes'] = out['genome_id'].map(non_genes).fillna('')
+    out['non_syntenic_annotations'] = out['genome_id'].map(non_ann) \
+        .fillna('')
+    out.to_csv(output_csv, index=False)
+
+
+def valid_syntenic_gene_count(input_csv: str, output_csv: str,
+                              syntenic_gene_count_range,
+                              total_gene_count_range,
+                              syntenic_total_gene_count_remove,
+                              gff_dir: str, gbk_dir: str, pdf_dir: str,
+                              metadata_dir: str) -> None:
+    """Keep genomes whose (num_syntenic_genes, total_num_genes) pair lies
+    in the configured ranges minus the explicit remove-set; delete the
+    GFF/GBK/PDF/metadata artifacts of removed genomes (reference
+    :1990-2020)."""
+    import pandas as pd
+    df = pd.read_csv(input_csv)
+    syn = range(syntenic_gene_count_range[0],
+                syntenic_gene_count_range[1] + 1)
+    tot = range(total_gene_count_range[0], total_gene_count_range[1] + 1)
+    valid = set(itertools.product(syn, tot))
+    valid -= {tuple(p) for p in (syntenic_total_gene_count_remove or [])}
+    keep = df[df[['num_syntenic_genes', 'total_num_genes']]
+              .apply(tuple, axis=1).isin(valid)]
+    removed = set(df['genome_id']) - set(keep['genome_id'])
+    keep.to_csv(output_csv, index=False)
+    for gid in removed:
+        for ext, d in (('gff', gff_dir), ('gbk', gbk_dir),
+                       ('pdf', pdf_dir), ('', metadata_dir)):
+            p = os.path.join(d, f'{gid}.{ext}' if ext else str(gid))
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+
+
 def valid_gene_annotations(input_gff_dir: str, input_gbk_dir: str,
                            required_products, sequences_df):
     """Keep genomes whose GFFs contain every required 'product=' value;
@@ -971,14 +1056,10 @@ def valid_gene_annotations(input_gff_dir: str, input_gbk_dir: str,
         products = [attrs.get('product', '')
                     for cols, attrs in _iter_gff_features(path)
                     if cols[2] == 'CDS']
-        remaining = list(products)
-        ok = True
-        for req in required:
-            if req in remaining:
-                remaining.remove(req)
-            else:
-                ok = False
-                break
+        # reference semantics: every required product must be PRESENT
+        # (all(p in products)) — duplicates in the required list do not
+        # demand multiple distinct CDSs
+        ok = all(req in products for req in required)
         desc = _gff_description(path) or gff_file.replace('.gff', '')
         if ok:
             keep_ids.add(desc)
@@ -1034,6 +1115,14 @@ class Stage:
         df.to_csv(self.seqs_path, index=False)
         print(f'{name}: {len(df)} sequences')
         return df
+
+    def finalize(self, df):
+        """Write counts + seqs unconditionally at stage end: the next
+        stage loads these CSVs, so they must exist even when every
+        sub-filter of this stage was disabled (reference writes its
+        checkpoints at the end of every stage)."""
+        self.counts.to_csv(self.counts_path, index=False)
+        df.to_csv(self.seqs_path, index=False)
 
 
 def _p(config: dict, key: str) -> str:
@@ -1108,6 +1197,7 @@ def main(config_file):
                 'count_tud_filter',
                 valid_tud(filtered, config['tetranucleotide'],
                           config['tud_range']))
+        stage.finalize(filtered)
         save_df_as_fasta(filtered, _p(
             config, 'nucleotide_filter_seqs_fasta_file_save_location'))
         print(f'Completed nucleotide filtering: {len(filtered)} sequences.')
@@ -1156,6 +1246,7 @@ def main(config_file):
                         prots,
                         config['aminoacid_homopolymer_length_range'],
                         filtered))
+        stage.finalize(filtered)
         save_df_as_fasta(filtered, _p(
             config, 'orf_filter_seqs_fasta_file_save_location'))
         print(f'Completed ORF filtering: {len(filtered)} sequences.')
@@ -1221,7 +1312,10 @@ def main(config_file):
                 valid_protein_database_hit_count(
                     hits_df, seq_df, 'id_prompt',
                     config['protein_database_hit_count']))
-            save_df_as_fasta(filtered, out_fasta)
+        # reference saves the homology FASTA unconditionally before every
+        # step that reads it (lines 2373/2397) — the next steps must see
+        # THIS run's sequence set even when earlier filters are disabled
+        save_df_as_fasta(filtered, out_fasta)
 
         if config['training_data_sequence_identity_filter']:
             base = _p(config,
@@ -1240,28 +1334,30 @@ def main(config_file):
             mm_df = convert_m8_to_df(
                 f'{base}/results_dir/mmseqs_results.m8', 'training_data')
             filtered = stage.record(
-                'count_training_data_identity_filter',
+                'count_training_data_sequence_identity_filter',
                 valid_mmseqs_pident(
                     mm_df, 'training_data',
                     config['training_data_sequence_identity_range'],
                     filtered))
-            save_df_as_fasta(filtered, out_fasta)
+        save_df_as_fasta(filtered, out_fasta)
 
         if config['checkv_filter']:
             checkv_dir = _p(config, 'checkv_results_dir_save_location')
             run_checkv(out_fasta, checkv_dir, config['checkv_threads'],
                        checkv_db=config.get('checkv_db'))
-            merged = valid_checkv_quality(
-                f'{checkv_dir}/quality_summary.tsv',
-                config['checkv_quality_range'], filtered)
+            # reference semantics: valid_checkv_quality LEFT-merges the
+            # in-range qualities and keeps every row (no drop) — the
+            # quality column is recorded, not filtered on
             filtered = stage.record(
-                'count_checkv_filter',
-                merged.dropna(subset=['checkv_quality']))
+                'count_checkv_quality_filter',
+                valid_checkv_quality(
+                    f'{checkv_dir}/quality_summary.tsv',
+                    config['checkv_quality_range'], filtered))
             save_df_as_fasta(filtered, out_fasta)
 
         if config['reference_genome_sequence_identity_filter']:
             filtered = stage.record(
-                'count_reference_genome_identity_filter',
+                'count_seq_ident_to_reference_genome_filter',
                 valid_reference_genome_pident(
                     filtered, config['reference_genome_fasta'],
                     config['reference_genome_sequence_identity_range']))
@@ -1271,7 +1367,7 @@ def main(config_file):
             scorer = ga.ArchitectureScorer.from_fasta(
                 config['genetic_architecture_reference_genome'])
             filtered = stage.record(
-                'count_genetic_architecture_filter',
+                'count_genetic_architecture_score_filter',
                 valid_genetic_architecture_score(
                     filtered, scorer,
                     config['genetic_architecture_score_range'],
@@ -1291,13 +1387,14 @@ def main(config_file):
                 descriptive_prefix='tropism_protein',
                 threads=config['mmseqs_threads'],
                 sensitivity=config['mmseqs_tropism_protein_sensitivity'],
-                only_top_hits=True)
+                only_top_hits=False)
             filtered = stage.record(
-                'count_tropism_protein_identity_filter',
+                'count_tropism_protein_sequence_identity_filter',
                 valid_mmseqs_pident(
                     tropism_df, 'tropism_protein',
                     config['tropism_protein_sequence_identity_range'],
                     filtered))
+        stage.finalize(filtered)
         save_df_as_fasta(filtered, out_fasta)
         print(f'Completed homology filtering: {len(filtered)} sequences.')
 
@@ -1340,7 +1437,7 @@ def main(config_file):
                 seq_fasta, cdir,
                 config['mmseqs_clustering_min_sequence_identity'])
             filtered = stage.record(
-                'count_clustering_filter',
+                'count_mmseqs_clustering_filter',
                 extract_mmseqs_cluster_representatives(
                     f'{cdir}/mmseqs_results/clusters.tsv', seq_fasta,
                     out_fasta, filtered))
@@ -1364,7 +1461,7 @@ def main(config_file):
                 f'{base}/results_dir/mmseqs_results.m8',
                 'reference_genome')
             filtered = stage.record(
-                'count_reference_identity_remove_filter',
+                'count_mmseqs_reference_genome_sequence_identity_remove_filter',
                 valid_mmseqs_pident(
                     mm_df, 'reference_genome',
                     config[
@@ -1374,12 +1471,13 @@ def main(config_file):
 
         if config['genetic_architecture_remove_filter']:
             filtered = stage.record(
-                'count_genetic_architecture_remove_filter',
+                'count_genetic_architecture_score_remove_filter',
                 valid_genetic_architecture_score(
                     filtered, None,
                     config['genetic_architecture_score_range_to_remove'],
                     keep_or_remove_range='remove',
                     mode=config['genetic_architecture_score_mode']))
+        stage.finalize(filtered)
         save_df_as_fasta(filtered, out_fasta)
         print(f'Completed diversification filtering: '
               f'{len(filtered)} sequences.')
@@ -1441,10 +1539,27 @@ def main(config_file):
             except subprocess.CalledProcessError as e:
                 print(f'lovis4u visualization failed (non-fatal): {e}')
 
+        # cumulative counts funnel: carry the upstream stage's counts so
+        # the synteny checkpoint preserves the whole per-filter history
+        # (reference carries filter_counts through every stage)
+        counts_src = _p(config,
+                        'homology_filter_counts_file_save_location')
+        if config.get('diversification_filtering') and os.path.exists(_p(
+                config,
+                'diversification_filter_counts_file_save_location')):
+            counts_src = _p(
+                config, 'diversification_filter_counts_file_save_location')
+        counts = (pd.read_csv(counts_src)
+                  if os.path.exists(counts_src) else pd.DataFrame([{}]))
+        counts_path = _p(config, 'synteny_filter_counts_file_save_location')
+
         if config['average_protein_sequence_identity_filter']:
             valid_average_protein_percent_identity(
                 gff_dir, gbk_dir, synteny_csv, synteny_csv,
                 config['average_protein_sequence_identity_range'])
+            counts['count_average_protein_sequence_identity_filter'] = \
+                len(pd.read_csv(synteny_csv))
+            counts.to_csv(counts_path, index=False)
         else:
             calculate_average_protein_percent_identity(
                 gff_dir, synteny_csv, synteny_csv)
@@ -1455,11 +1570,31 @@ def main(config_file):
             final_df = valid_gene_annotations(
                 gff_dir, gbk_dir, config['required_genes_list'], final_df)
             final_df.to_csv(synteny_csv, index=False)
-        counts = pd.DataFrame([{'count_final_after_synteny':
-                                len(final_df)}])
-        counts.to_csv(_p(config,
-                         'synteny_filter_counts_file_save_location'),
-                      index=False)
+            counts['count_required_genes_filter'] = len(final_df)
+            counts.to_csv(counts_path, index=False)
+
+        if config.get('syntenic_gene_count_filter'):
+            count_syntenic_genes_all(root_dir=meta_dir, gff_dir=gff_dir,
+                                     input_csv=synteny_csv,
+                                     output_csv=synteny_csv)
+            # num_syntenic_genes needs total_num_genes alongside; already
+            # merged above by count_total_num_genes
+            valid_syntenic_gene_count(
+                input_csv=synteny_csv, output_csv=synteny_csv,
+                syntenic_gene_count_range=config[
+                    'syntenic_gene_count_range'],
+                total_gene_count_range=config['total_gene_count_range'],
+                syntenic_total_gene_count_remove=config.get(
+                    'syntenic_total_gene_count_remove') or [],
+                gff_dir=gff_dir, gbk_dir=gbk_dir,
+                pdf_dir=_p(config,
+                           'genetic_architecture_visualization_pdf_dir_'
+                           'save_location'),
+                metadata_dir=meta_dir)
+            final_df = pd.read_csv(synteny_csv)
+            counts['count_syntenic_gene_count_filter'] = len(final_df)
+
+        counts.to_csv(counts_path, index=False)
         save_df_as_fasta(final_df, _p(
             config, 'synteny_filter_seqs_fasta_file_save_location'))
         print(f'Completed qc6: {len(final_df)} final candidates.')

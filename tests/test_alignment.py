@@ -99,3 +99,27 @@ def test_sam_reader(tmp_path):
     # deletion consumes ref 10,11 with no query
     assert 10 not in ref_to_query and 11 not in ref_to_query
     assert ref_to_query[12] is not None
+
+
+def test_not_terminal_identity_counts_internal_gaps():
+    """An internal insertion must lower not_terminal identity but not
+    'aligned' identity (biotite default-mode parity)."""
+    from phage_gen.analysis.alignment import percent_identity
+    ref = 'ACGTTGCAATCGGATCCTAG'   # non-repetitive: unique optimum
+    ins = ref[:10] + 'TTTTT' + ref[10:]
+    aligned = percent_identity(ref, ins, match=5, mismatch=-4, gap=-10,
+                               terminal_free=True, mode='aligned')
+    not_term = percent_identity(ref, ins, match=5, mismatch=-4, gap=-10,
+                                terminal_free=True, mode='not_terminal')
+    assert aligned == 100.0
+    assert 75.0 <= not_term <= 85.0     # 20 matches over a 25-col span
+
+
+def test_terminal_free_overhang_identity():
+    """A terminal overhang must NOT lower not_terminal identity."""
+    from phage_gen.analysis.alignment import percent_identity
+    ref = 'ACGTACGTACGTACGT'
+    ext = ref + 'TTTTTTTT'
+    got = percent_identity(ref, ext, match=5, mismatch=-4, gap=-10,
+                           terminal_free=True, mode='not_terminal')
+    assert got == 100.0

@@ -232,3 +232,68 @@ def test_shannon_from_cluster_tsv(tmp_path):
     assert ncl == 2
     assert abs(hnat - want) < 1e-9
     assert abs(hbit - want / math.log(2)) < 1e-9
+
+
+def test_syntenic_gene_count_filter(tmp_path):
+    """count_syntenic_genes_all + valid_syntenic_gene_count reproduce the
+    reference semantics: cross-genome cluster pairs count as syntenic, and
+    out-of-range (syntenic, total) combinations are removed along with
+    their artifacts."""
+    import pandas as pd
+    from phage_gen.pipelines.genome_design_filtering_pipeline import (
+        count_syntenic_genes_all, valid_syntenic_gene_count)
+    root = tmp_path / 'vis'
+    gffs = tmp_path / 'gff'
+    gbks = tmp_path / 'gbk'
+    pdfs = tmp_path / 'pdf'
+    for d in (root, gffs, gbks, pdfs):
+        d.mkdir()
+    # genome_1: two cross-genome pairs -> 2 syntenic genes
+    g1 = root / 'genome_1' / 'mmseqs'
+    g1.mkdir(parents=True)
+    (g1 / 'mmseqs_clustering.tsv').write_text(
+        'genome_1-ORF.1\tref-ORF.7\n'      # cross-genome pair
+        'ref-ORF.8\tgenome_1-ORF.2\n'      # cross-genome pair
+        'genome_1-ORF.3\tgenome_1-ORF.3\n')  # self pair: not syntenic
+    (gffs / 'genome_1.gff').write_text(
+        '##gff-version 3\n'
+        '##description seq_a\n'
+        'genome_1\tx\tCDS\t1\t90\t.\t+\t0\tID=ORF.1;product=capsid\n'
+        'genome_1\tx\tCDS\t100\t190\t.\t+\t0\tID=ORF.2;product=tail\n'
+        'genome_1\tx\tCDS\t200\t290\t.\t+\t0\tID=ORF.3;product=lysin\n')
+    # genome_2: no clustering pairs -> 0 syntenic genes
+    g2 = root / 'genome_2' / 'mmseqs'
+    g2.mkdir(parents=True)
+    (g2 / 'mmseqs_clustering.tsv').write_text(
+        'genome_2-ORF.1\tgenome_2-ORF.1\n')
+    (gffs / 'genome_2.gff').write_text(
+        '##gff-version 3\n'
+        '##description seq_b\n'
+        'genome_2\tx\tCDS\t1\t90\t.\t+\t0\tID=ORF.1;product=capsid\n')
+    (gbks / 'genome_2.gbk').write_text('LOCUS test\n')
+
+    csv = tmp_path / 'seqs.csv'
+    pd.DataFrame({'id_prompt': ['seq_a', 'seq_b'],
+                  'genome_id': ['genome_1', 'genome_2'],
+                  'total_num_genes': [3, 1]}).to_csv(csv, index=False)
+    count_syntenic_genes_all(str(root), str(gffs), str(csv), str(csv))
+    df = pd.read_csv(csv)
+    assert df.loc[df.genome_id == 'genome_1',
+                  'num_syntenic_genes'].item() == 2
+    assert df.loc[df.genome_id == 'genome_2',
+                  'num_syntenic_genes'].item() == 0
+    # genome_1's ORF.3 is the only non-syntenic gene
+    assert df.loc[df.genome_id == 'genome_1',
+                  'non_syntenic_genes'].item() == 'ORF.3'
+
+    valid_syntenic_gene_count(
+        str(csv), str(csv), syntenic_gene_count_range=[1, 5],
+        total_gene_count_range=[1, 5],
+        syntenic_total_gene_count_remove=[],
+        gff_dir=str(gffs), gbk_dir=str(gbks), pdf_dir=str(pdfs),
+        metadata_dir=str(root))
+    kept = pd.read_csv(csv)
+    assert list(kept['genome_id']) == ['genome_1']   # genome_2 has 0 syntenic
+    assert not (gffs / 'genome_2.gff').exists()
+    assert not (gbks / 'genome_2.gbk').exists()
+    assert not (root / 'genome_2').exists()
