@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import json
 import os
 import subprocess
 from collections import defaultdict
@@ -384,10 +385,23 @@ def run_stage2(config: dict, skip_existing: bool = False) -> None:
                 continue
         counts_csv = os.path.join(output_dir,
                                   f'{sample}_counts_primary.csv')
+        stats_json = os.path.join(output_dir, f'{sample}_stats.json')
         if skip_existing and os.path.exists(counts_csv):
             df = pd.read_csv(counts_csv)
             df['Sample'] = sample
             all_counts.append(df)
+            # keep the skipped sample's read-fate row: otherwise a partial
+            # rerun overwrites read_fate_stats.csv with only new samples
+            if os.path.exists(stats_json):
+                with open(stats_json) as f:
+                    prev = json.load(f)
+                all_sample_stats.append({'Sample': sample, **prev})
+                for k, v in prev.items():
+                    total_stats[k] += v
+            else:
+                print(f'  [skip] {sample}: no cached stats '
+                      f'({stats_json} missing) — read_fate_stats.csv will '
+                      'lack this sample')
             continue
         if mode == 'direct':
             counts, sstats, cw = snv_based_counts_direct(
@@ -409,6 +423,8 @@ def run_stage2(config: dict, skip_existing: bool = False) -> None:
               f"{sstats['ambiguous']} ambiguous, "
               f"{sstats['chimera']} chimera")
         all_sample_stats.append({'Sample': sample, **sstats})
+        with open(stats_json, 'w') as f:
+            json.dump(sstats, f)
         for k, v in sstats.items():
             total_stats[k] += v
         df = pd.read_csv(counts_csv)
@@ -490,8 +506,9 @@ def compute_signed_auc(cum_df):
     for (seq, rep), sub in cum_df.groupby(['Sequence', 'Replicate']):
         sub = sub[['Hours', 'Cumulative_Fold_Change']].dropna() \
             .sort_values('Hours')
-        auc = (np.trapezoid(sub['Cumulative_Fold_Change'].to_numpy(),
-                            sub['Hours'].to_numpy())
+        trapezoid = getattr(np, 'trapezoid', None) or np.trapz
+        auc = (trapezoid(sub['Cumulative_Fold_Change'].to_numpy(),
+                         sub['Hours'].to_numpy())
                if len(sub) >= 2 else np.nan)
         rows.append({'Sequence': seq, 'Replicate': rep, 'SignedAUC': auc})
     return pd.DataFrame(rows)

@@ -363,13 +363,20 @@ def sanitize_filename(name: str) -> str:
 
 def analyze_query_against_genbank(query_id: str, query_seq: str,
                                   genbank_text: str,
-                                  cache_dir: Optional[Path] = None):
-    """Align one query to one annotated GenBank record and classify."""
+                                  cache_dir: Optional[Path] = None,
+                                  hit_acc: str = ''):
+    """Align one query to one annotated GenBank record and classify.
+
+    The alignment cache key includes the hit accession: keying by query id
+    alone would silently reuse an alignment against a DIFFERENT hit when
+    the hit_map changes between runs."""
     hit_seq, features = parse_genbank_cds(genbank_text)
     pos_to_cds = build_cds_map(hit_seq, features)
+    key = sanitize_filename(f'{query_id}__{hit_acc}' if hit_acc
+                            else query_id)
     qa, ha = run_pairwise_alignment(
         query_seq, hit_seq, cache_dir,
-        cache_key=sanitize_filename(query_id) if cache_dir else None)
+        cache_key=key if cache_dir else None)
     return classify_mutations(qa, ha, pos_to_cds)
 
 
@@ -392,7 +399,7 @@ def analyze_dataset(dataset_name: str, fasta_path: str,
             continue
         counts = analyze_query_against_genbank(qid, seq,
                                                gb_path.read_text(),
-                                               cache_dir)
+                                               cache_dir, hit_acc=acc)
         for gene, c in counts.items():
             rows.append({'dataset': dataset_name, 'query': qid,
                          'hit': acc, 'gene': gene,

@@ -123,6 +123,11 @@ def translate_dna_sequence(dna_seq: str) -> str:
 def make_gene_completion_fasta(sequences: List[str], prompts: List[str],
                                ids: List[str], output_file) -> None:
     """FASTA of prompt+generation concatenations, header '>uuid prompt'."""
+    if len(sequences) != len(ids):
+        raise ValueError(
+            f'{len(sequences)} sequences vs {len(ids)} ids: gene completion '
+            'concatenates each generation to its forward-strand prompt, so '
+            'return_both/rc_truth must be false for this pipeline')
     names = [f'{i} {p}' for i, p in zip(ids, prompts)]
     seqs = [p + s for p, s in zip(prompts, sequences)]
     write_fasta(output_file, names, seqs, width=60)
@@ -319,15 +324,18 @@ def process_gene_completion_sequences(
     Length_Percentage columns of the prompt CSV)."""
     import pandas as pd
 
-    input_sequences = {
-        name.split(' ')[0].split('_')[0]: seq.replace('*', '')
-        for name, seq in iter_fasta(str(input_fasta))}
+    # one entry PER protein record: a generation can yield several
+    # filtered proteins (uuid_1, uuid_2, ...) and each gets its own row
+    # (a root-keyed dict would keep only the last)
+    input_sequences = [
+        (name.split(' ')[0].split('_')[0], seq.replace('*', ''))
+        for name, seq in iter_fasta(str(input_fasta))]
     reference_lookup = build_reference_lookup(reference_fasta)
     uuid_df = pd.read_csv(uuid_prompts_csv)
     info_df = pd.read_csv(prompt_info_csv)
 
     rows = []
-    for uuid_val, input_seq in input_sequences.items():
+    for uuid_val, input_seq in input_sequences:
         prompt_row = uuid_df[uuid_df['UUID'] == uuid_val]
         if prompt_row.empty:
             continue

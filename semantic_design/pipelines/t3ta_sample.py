@@ -187,12 +187,14 @@ def load_generated_sequences(csv_path) -> Dict[str, str]:
 # TRF recommended parameters (match score 2, mismatch 7, indel 7, pm 80,
 # pi 10, minscore 50, maxperiod 500) with -ngs streaming output
 _TRF_ARGS = ('2', '7', '7', '80', '10', '50', '500', '-h', '-ngs')
+# TRF -ngs data rows have 15 fields: the consensus PATTERN precedes the
+# actual repeat sequence
 _TRF_COLUMNS = ('Start', 'End', 'Period Size', 'Copy Number',
                 'Consensus Size', 'Percent Match', 'Percent Indels',
                 'Alignment Score', 'A', 'C', 'G', 'T', 'Entropy',
-                'Repeat Sequence')
+                'Consensus Pattern', 'Repeat Sequence')
 _TRF_TYPES = (int, int, float, float, int, float, float, int, int, int,
-              int, int, float, str)
+              int, int, float, str, str)
 
 
 def run_tandem_repeat_finder(sequence: str, root_id: str, trf_path):
@@ -217,7 +219,8 @@ def run_tandem_repeat_finder(sequence: str, root_id: str, trf_path):
         row: Dict[str, Any] = {'Root ID': root_id}
         for col, typ, val in zip(_TRF_COLUMNS, _TRF_TYPES, data):
             row[col] = typ(val)
-        row['Full TRF Region'] = sequence[row['Start']:row['End']]
+        # TRF coordinates are 1-based inclusive
+        row['Full TRF Region'] = sequence[row['Start'] - 1:row['End']]
         repeats.append(row)
     return pd.DataFrame(repeats)
 
@@ -289,8 +292,13 @@ def fold_trfs(trf_df, output_csv):
         empty.to_csv(output_csv, index=False)
         return empty
     rows = []
-    for dna, seq_id in zip(trf_df['Full TRF Region'].astype(str),
-                           trf_df['Root ID'].astype(str)):
+    for _, r in trf_df.iterrows():
+        dna = str(r['Full TRF Region'])
+        # key each fold by its TRF REGION, not just the root generation: a
+        # root-only key makes the downstream join a Cartesian product when
+        # one generation has several repeats
+        seq_id = (f"{r['Root ID']}_{int(r['Start'])}_{int(r['End'])}"
+                  if 'Start' in trf_df.columns else str(r['Root ID']))
         rna = _transcribe(dna)
         structure, mfe = predict_rna_structure(rna)
         rows.append({
@@ -399,7 +407,7 @@ def prepare_rna_candidate_table(trf_df, fold_trf_df, output_csv):
         std['Sequence_ID'] = std.apply(
             lambda r: f"{r['Root ID']}_{int(r['Start'])}_{int(r['End'])}",
             axis=1)
-    merged = std.merge(fold_trf_df, left_on='Root ID',
+    merged = std.merge(fold_trf_df, left_on='Sequence_ID',
                        right_on='Evo Sequence ID', how='inner',
                        suffixes=('', '_RNA'))
     if merged.empty:
@@ -499,9 +507,10 @@ def run_rna_sequence_filter(candidates_csv, config: Config) -> Set[str]:
     if not config.rna_sequence_matches_csv.exists():
         return set()
     results = pd.read_csv(config.rna_sequence_matches_csv)
-    if 'comp_root_id' not in results.columns:
+    if 'comp_root_id' not in results.columns \
+            or 'identity_percent' not in results.columns:
         return set()
-    passing = results[results.get('identity_percent', 0)
+    passing = results[results['identity_percent']
                       >= config.rna_sequence_filter_min_identity]
     return set(passing['comp_root_id'].astype(str))
 

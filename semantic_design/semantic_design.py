@@ -214,7 +214,21 @@ def get_rc(sequences: Sequence[str], rc_truth: bool = True,
 def make_fasta(sequences: Sequence[str], prompts: Sequence[str],
                ids: Sequence[str], output_file: str) -> None:
     """FASTA writer: header '>id prompt' per record (BioPython SeqRecord
-    id+description format of the reference)."""
+    id+description format of the reference).
+
+    When `sequences` is the 2N output of get_rc(return_both=True) — the
+    RC half first, then the originals — ids/prompts are expanded to match
+    ('{id}_rc' for the RC half). The reference silently truncates here,
+    writing ONLY the reverse complements and dropping every forward-strand
+    generation; deviation kept deliberate.
+    """
+    if len(sequences) == 2 * len(ids):
+        ids = [f'{i}_rc' for i in ids] + list(ids)
+        prompts = list(prompts) * 2
+    elif len(sequences) != len(ids):
+        raise ValueError(
+            f'{len(sequences)} sequences vs {len(ids)} ids: expected equal '
+            'or the 2N layout of get_rc(return_both=True)')
     names = [f'{i} {p}' if p else str(i) for i, p in zip(ids, prompts)]
     write_fasta(output_file, names, [str(s) for s in sequences], width=60)
 

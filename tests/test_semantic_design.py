@@ -174,3 +174,26 @@ def test_pairwise_identity():
     assert sd._pairwise_identity('ABCD', 'ABCD') == 1.0
     assert sd._pairwise_identity('AB-D', 'ABCD') == 1.0  # gap columns skipped
     assert sd._pairwise_identity('ABXD', 'ABCD') == 0.75
+
+
+def test_make_fasta_expands_rc_pairs(tmp_path):
+    """get_rc(return_both=True) yields 2N sequences; make_fasta must write
+    ALL of them (the reference silently truncates to the RC half)."""
+    from evo_tpu.io.fasta import read_fasta
+    from semantic_design.semantic_design import get_rc, make_fasta
+    seqs = ['AACG', 'GGCA']               # non-palindromic
+    both = get_rc(seqs, rc_truth=True, return_both=True)
+    out = tmp_path / 'both.fasta'
+    make_fasta(both, ['p1', 'p2'], ['u1', 'u2'], str(out))
+    names, written = read_fasta(str(out))
+    assert len(written) == 4
+    assert names == ['u1_rc p1', 'u2_rc p2', 'u1 p1', 'u2 p2']
+    assert written == ['CGTT', 'TGCC', 'AACG', 'GGCA']
+
+
+def test_make_fasta_rejects_other_mismatch(tmp_path):
+    from semantic_design.semantic_design import make_fasta
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='expected equal'):
+        make_fasta(['A', 'C', 'G'], ['p'] * 2, ['i'] * 2,
+                   str(tmp_path / 'x.fasta'))
