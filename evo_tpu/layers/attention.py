@@ -120,15 +120,46 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     B, L, H, Dh = q.shape
     T = k_buf.shape[1]
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
-    s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
-                   k_buf.astype(jnp.float32),
-                   preferred_element_type=jnp.float32) * scale
+    # online softmax over KV-buffer chunks: materializing the full
+    # (B, H, L, T) score tensor is ~137 GB at T=131k — the exact workload
+    # this resumed-prefill path exists for
+    C = min(2048, T)
+    pad_t = (-T) % C
+    if pad_t:
+        k_buf2 = jnp.pad(k_buf, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        v_buf2 = jnp.pad(v_buf, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+    else:
+        k_buf2, v_buf2 = k_buf, v_buf
+    n_chunks = (T + pad_t) // C
+    q32 = q.astype(jnp.float32)
     row = jnp.arange(L)[:, None]
-    col = jnp.arange(T)[None, :]
-    s = jnp.where((col <= offset + row)[None, None], s, -jnp.inf)
-    a = jax.nn.softmax(s, axis=-1)
-    y = jnp.einsum('bhlt,bthd->blhd', a, v_buf.astype(jnp.float32),
-                   preferred_element_type=jnp.float32).astype(q.dtype)
+
+    def body(carry, ci):
+        m_prev, l_prev, acc = carry
+        ks = jax.lax.dynamic_slice_in_dim(k_buf2, ci * C, C, axis=1)
+        vs = jax.lax.dynamic_slice_in_dim(v_buf2, ci * C, C, axis=1)
+        s = jnp.einsum('blhd,bthd->bhlt', q32, ks.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * scale
+        col = ci * C + jnp.arange(C)[None, :]
+        s = jnp.where((col <= offset + row)[None, None], s, -jnp.inf)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        finite = jnp.isfinite(m_new)
+        m_safe = jnp.where(finite, m_new, 0.0)
+        pexp = jnp.where(finite[..., None],
+                         jnp.exp(s - m_safe[..., None]), 0.0)
+        alpha = jnp.where(finite, jnp.exp(m_prev - m_safe), 1.0)
+        l_new = l_prev * alpha + jnp.sum(pexp, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            'bhlt,bthd->bhld', pexp, vs.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return (jnp.where(finite, m_new, m_prev), l_new, acc_new), None
+
+    init = (jnp.full((B, H, L), -jnp.inf, jnp.float32),
+            jnp.zeros((B, H, L), jnp.float32),
+            jnp.zeros((B, H, L, Dh), jnp.float32))
+    (m_f, l_f, acc), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    y = jnp.swapaxes(acc / jnp.maximum(l_f, 1e-30)[..., None],
+                     1, 2).astype(q.dtype)
     return _out(p, x.dtype, y), (k_buf, v_buf)
 
 

@@ -71,9 +71,12 @@ class EvoModel:
         self._prefill = jax.jit(
             functools.partial(_prefill_cfg, cfg=config, mesh=mesh),
             static_argnames=('resume',))
-        self._step = jax.jit(
-            functools.partial(_step_cfg, cfg=config),
-            donate_argnums=(2,))
+        # NOT donated: the reference contract mutates/reuses one
+        # inference_params_dict across calls (evo/generation.py:105-148);
+        # donation would delete the caller's dict. The fused generation
+        # program (generation._generate_program) owns its cache and keeps
+        # donation there.
+        self._step = jax.jit(functools.partial(_step_cfg, cfg=config))
 
     # -- engine call contract ------------------------------------------------
 

@@ -36,7 +36,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(kb <= qb)
+    # a k-block is needed iff it starts before the q-block's LAST row
+    # (kb <= qb is only correct for block_q == block_k)
+    @pl.when(kb * block_k < (qb + 1) * block_q)
     def _compute():
         q = q_ref[0]                                   # (bq, Dh)
         k = k_ref[0]                                   # (bk, Dh)
@@ -49,14 +51,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
         m_prev = m_scr[:, 0]                           # (bq,)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[:, None])                # (bq, bk) f32
-        alpha = jnp.exp(m_prev - m_new)                # (bq,)
+        # rows with no valid key yet (q-block rows above this k-block when
+        # block_q > block_k) have m_new == -inf; keep them inert instead of
+        # producing exp(-inf - -inf) = nan
+        finite = jnp.isfinite(m_new)
+        m_safe = jnp.where(finite, m_new, 0.0)
+        p = jnp.where(finite[:, None], jnp.exp(s - m_safe[:, None]), 0.0)
+        alpha = jnp.where(finite, jnp.exp(m_prev - m_safe), 1.0)  # (bq,)
         l_scr[:] = l_scr[:] * alpha[:, None] + \
             jnp.sum(p, axis=-1)[:, None]
         acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
+        m_scr[:] = jnp.broadcast_to(
+            jnp.where(finite, m_new, m_prev)[:, None], m_scr.shape)
 
     @pl.when(kb == pl.num_programs(2) - 1)
     def _finalize():
@@ -95,23 +103,34 @@ def _flash_bhld(q, k, v, *, block_q: int, block_k: int,
     )(q, k, v)
 
 
-def flash_attention_causal(q, k, v, *, block_q: int = 2048,
-                           block_k: int = 512, interpret: bool = False):
+def flash_attention_causal(q, k, v, *, block_q: int = 512,
+                           block_k: int = 1024, interpret: bool = False):
     """Causal SDPA. q, k, v: (B, L, H, Dh) -> (B, L, H, Dh), q.dtype.
 
     Contract identical to the naive `sdpa_causal` oracle
     (layers/attention.py); tested against it in tests/test_pallas_attention.py.
 
     Default blocks from an on-chip sweep at (L=8192, H=32, Dh=128) on
-    v5e: (2048, 512) runs ~9x faster than (256, 256) — tall q blocks
-    amortize the k-loop's softmax rescaling; 4096+ q rows exceed VMEM.
+    v5e with the corrected causal skip: (512, 1024) runs ~3.9x faster
+    than (256, 256) (6.8 vs 26.3 ms) — wide k blocks cut grid steps and
+    softmax rescaling passes; the plateau is (512-1024, 1024-2048).
     """
     B, L, H, Dh = q.shape
-    bq = min(block_q, max(8, L))
-    bk = min(block_k, max(128, L))
-    pad = (-L) % max(bq, bk)
-    bq = min(bq, L + pad)
-    bk = min(bk, L + pad)
+
+    def _pow2_floor(x):
+        p = 8
+        while p * 2 <= x:
+            p *= 2
+        return p
+
+    # powers of two so the larger block is a multiple of the smaller and
+    # one padded length divides by both (the old max-based padding left
+    # trailing keys unvisited for non-multiple L)
+    bq = min(_pow2_floor(max(block_q, 8)), _pow2_floor(max(L, 8)))
+    bk = min(_pow2_floor(max(block_k, 128)), _pow2_floor(max(L, 128)))
+    unit = max(bq, bk)
+    pad = (-L) % unit
+    assert (L + pad) % bq == 0 and (L + pad) % bk == 0
 
     def to_bhld(x):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, L, Dh)

@@ -34,8 +34,11 @@ def top_p_filter(logits: jax.Array, p: float) -> jax.Array:
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits.astype(jnp.float32), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # exclusive cumsum: mask tokens that start at/after mass p
+    # exclusive cumsum: mask tokens that start at/after mass p; the top
+    # token is kept unconditionally (with p <= 0 the comparison alone
+    # would mask everything and sampling would become uniform)
     keep_sorted = (cum - probs) < p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
     # threshold logit = smallest kept logit
     kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
                   keepdims=True)

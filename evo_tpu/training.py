@@ -101,18 +101,18 @@ def make_train_step(cfg: ModelConfig,
 def make_sharded_train_step(cfg: ModelConfig,
                             optimizer: optax.GradientTransformation,
                             mesh) -> Callable:
-    """Jit the train step with explicit (dp, tp) shardings and donated state."""
+    """Jit the train step with (dp, tp) data sharding and donated state.
+
+    Parameter/optimizer placement comes from the INPUT state: place params
+    with `parallel.sharding.shard_params` before `init_train_state`, and
+    jit preserves those committed shardings (in_shardings=None keeps the
+    argument placements; GSPMD propagates them through the step).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from evo_tpu.parallel.sharding import param_shardings
-
-    ps = param_shardings(cfg, mesh)
     data = NamedSharding(mesh, P('dp', None))
     repl = NamedSharding(mesh, P())
     step = make_train_step(cfg, optimizer, mesh=mesh)
-    # optimizer state mirrors the param tree; let GSPMD propagate its
-    # shardings from params (opt_state entries that aren't param-shaped -
-    # e.g. clip counts - are replicated)
     return jax.jit(step,
                    in_shardings=(None, data, data),
                    out_shardings=(None, repl),

@@ -143,3 +143,16 @@ def test_resumable_generation_matches_single_run(setup):
     part2 = np.asarray(part2)[0]
     combined = np.concatenate([part1, part2])
     np.testing.assert_array_equal(combined, full)
+
+
+def test_top_p_zero_keeps_top_token():
+    """top_p <= 0 must degenerate to keeping only the most likely token
+    (never uniform sampling over the masked-out vocab)."""
+    from evo_tpu.ops.sampling import sample
+    import jax
+    import jax.numpy as jnp
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
+    for seed in range(5):
+        tok = sample(jax.random.PRNGKey(seed), logits, top_p=0.0,
+                     temperature=1.0)
+        assert int(tok[0]) == 1

@@ -12,7 +12,13 @@ from evo_tpu.ops.pallas_attention import flash_attention_causal
 
 
 @pytest.mark.parametrize('L,bq,bk', [(256, 128, 128), (192, 128, 128),
-                                     (128, 128, 128)])
+                                     (128, 128, 128),
+                                     # tall q blocks (production default
+                                     # shape) and non-multiple L — the
+                                     # configurations behind the causal
+                                     # block-skip and padding bugs
+                                     (512, 256, 128), (512, 128, 256),
+                                     (1000, 512, 128), (384, 256, 128)])
 def test_flash_matches_naive(L, bq, bk):
     B, H, Dh = 1, 2, 128
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
