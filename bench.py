@@ -6,7 +6,7 @@ StripedHyena (evo-1-8k-base schema), batch 1 x 8192, bf16, random weights.
 hardware matmul roofline at this model's FLOPs/token (the reference publishes
 no throughput numbers - BASELINE.md).
 
-Usage: python bench.py [--preset prefill8k|decode|tiny] [--json-only]
+Usage: python bench.py [--preset prefill8k|prefill131k|decode|generate|scaling|tiny]
 On non-TPU backends a scaled-down model with the same schema is used so the
 benchmark always produces a line.
 """
@@ -241,8 +241,23 @@ def main():
             tps = bench_prefill(cfg, batch, length)
             metric = f'prefill_tokens_per_sec_per_chip_{name}'
 
-    roofline_tps = _chip_peak_flops() / _model_flops_per_token(cfg)
-    target = 0.5 * roofline_tps                     # BASELINE.md target
+    if args.preset in ('decode', 'generate'):
+        # B=1-per-sequence decode is HBM-bandwidth bound: the target is
+        # reading the full weight set once per token (BASELINE.md), not
+        # the matmul roofline (which decode can never approach)
+        param_bytes = sum(
+            x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(
+                jax.eval_shape(lambda k: __import__(
+                    'evo_tpu.model', fromlist=['model']).init_params(k, cfg),
+                    jax.random.PRNGKey(0))))
+        hbm_gbps = {'v5 lite': 819e9, 'v5e': 819e9, 'v5p': 2765e9,
+                    'v4': 1228e9, 'v6': 1638e9}
+        kind = jax.devices()[0].device_kind.lower()
+        bw = next((v for key, v in hbm_gbps.items() if key in kind), 819e9)
+        target = batch * bw / param_bytes          # tokens/s at 100% BW
+    else:
+        roofline_tps = _chip_peak_flops() / _model_flops_per_token(cfg)
+        target = 0.5 * roofline_tps                 # BASELINE.md target
     print(json.dumps({
         'metric': metric,
         'value': round(tps, 2),

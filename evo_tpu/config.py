@@ -198,6 +198,17 @@ class ModelConfig:
         return dataclasses.replace(self, **kw)
 
 
+def cli_tiny_overrides() -> dict:
+    """The `--tiny` override dict shared by the CLI scripts (same schema
+    family as `tiny_config`; kept as a dict because the CLIs feed it to
+    `Evo(config_overrides=...)`)."""
+    return dict(
+        hidden_size=64, num_filters=64, num_layers=4,
+        attn_layer_idxs=(1,), hyena_layer_idxs=(),
+        num_attention_heads=4, state_size=4, compute_dtype='float32',
+        param_dtype='float32', use_pallas='never')
+
+
 def tiny_config(**overrides) -> ModelConfig:
     """A small CPU-runnable config with the same schema as evo-1-8k-base.
 

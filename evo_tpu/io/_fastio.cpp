@@ -26,9 +26,13 @@ long fastio_scan(const char* buf, long n, char* out_seq,
     long out = 0;
     long i = 0;
     bool in_record = false;
+    bool at_line_start = true;
     while (i < n) {
         char c = buf[i];
-        if (c == '>') {
+        // '>' opens a record only at line start (parity with the Python
+        // parser and with fastio_count_records' sizing pass; a mid-line
+        // '>' is sequence content)
+        if (c == '>' && at_line_start) {
             if (in_record) {
                 seq_ends[num - 1] = out;
             }
@@ -41,6 +45,7 @@ long fastio_scan(const char* buf, long n, char* out_seq,
             in_record = true;
             // skip line terminator(s)
             while (i < n && (buf[i] == '\n' || buf[i] == '\r')) i++;
+            at_line_start = true;
         } else if (in_record) {
             // copy one sequence line: strip leading/trailing blanks
             // (parity with the Python parser's per-line strip) but keep
@@ -48,8 +53,7 @@ long fastio_scan(const char* buf, long n, char* out_seq,
             while (i < n && (buf[i] == ' ' || buf[i] == '\t')) i++;
             long line_out_start = out;
             long last_non_blank = out;
-            while (i < n && buf[i] != '\n' && buf[i] != '\r' &&
-                   buf[i] != '>') {
+            while (i < n && buf[i] != '\n' && buf[i] != '\r') {
                 char b = buf[i++];
                 out_seq[out++] = b;
                 if (b != ' ' && b != '\t') last_non_blank = out;
@@ -57,7 +61,9 @@ long fastio_scan(const char* buf, long n, char* out_seq,
             out = (last_non_blank > line_out_start) ? last_non_blank
                                                     : line_out_start;
             while (i < n && (buf[i] == '\n' || buf[i] == '\r')) i++;
+            at_line_start = true;
         } else {
+            at_line_start = (buf[i] == '\n');
             i++;  // leading junk before the first '>'
         }
     }

@@ -49,11 +49,8 @@ def main():
     overrides = None
     if args.tiny:
         args.random_init = True
-        overrides = dict(
-            hidden_size=64, num_filters=64, num_layers=4,
-            attn_layer_idxs=(1,), hyena_layer_idxs=(),
-            num_attention_heads=4, state_size=4, compute_dtype='float32',
-            param_dtype='float32', use_pallas='never')
+        from evo_tpu.config import cli_tiny_overrides
+        overrides = cli_tiny_overrides()
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
               random_init=args.random_init, config_overrides=overrides,
               mesh=mesh)

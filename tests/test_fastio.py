@@ -84,3 +84,19 @@ def test_gzip_fasta(tmp_path):
     assert seqs == ['ACGTACGT', 'TTTT']
     if fastio.available():
         assert fastio.read_fasta_fast(str(gz)) == (names, seqs)
+
+
+def test_midline_gt_is_sequence_content(tmp_path):
+    """A '>' not at line start is sequence content, not a new record —
+    native scanner must match the Python parser (which reads lines)."""
+    from evo_tpu.io import fastio
+    content = '>s1\nAC >GT\n>s2\nTT\n'
+    p = tmp_path / 'gt.fasta'
+    p.write_text(content)
+    import io as _io
+    from evo_tpu.io.fasta import iter_fasta
+    recs = list(iter_fasta(_io.StringIO(content)))   # python oracle
+    assert [n for n, _ in recs] == ['s1', 's2']
+    if fastio.available():
+        got = fastio.read_fasta_fast(str(p))
+        assert got == ([n for n, _ in recs], [s for _, s in recs])
