@@ -96,10 +96,12 @@ class ModelConfig:
     # MXU (fastest on TPU, bounded memory); 'fft' = XLA FFT (monolithic, or
     # chunked when hyena_fft_chunk > 0; the numerics oracle).
     hyena_conv_backend: str = 'matmul'
-    # Chunk (= Toeplitz tile) for the matmul backend. 128 matches the MXU
-    # tile; the (D, chunk, chunk) tap tensor grows quadratically, so this
-    # must stay small — it is NOT the FFT memory knob above.
-    hyena_matmul_chunk: int = 128
+    # Chunk (= Toeplitz tile) for the matmul backend; the (D, chunk,
+    # chunk) tap tensor grows quadratically, so this must stay small — it
+    # is NOT the FFT memory knob above. On-chip sweep at 7B/8k: 64 runs
+    # the conv at 3.2 ms/layer vs 4.9 (128) and 10.0 (256) — smaller taps
+    # halve the Toeplitz flops while K=L/64 rows still fill the MXU.
+    hyena_matmul_chunk: int = 64
 
     def __post_init__(self):
         # tuples so the config is hashable (required for static jit args)
