@@ -40,7 +40,7 @@ import numpy as np
 from evo_tpu import model as model_lib
 from evo_tpu.config import ModelConfig
 from evo_tpu.ops.sampling import sample
-from evo_tpu.scoring import logits_to_logprobs, next_bucket, prepare_batch
+from evo_tpu.scoring import logits_to_logprobs, prepare_batch
 from evo_tpu.tokenizer import CharLevelTokenizer
 
 
@@ -102,23 +102,25 @@ def _grow_cache(cache, cfg: ModelConfig, needed_len: int):
         if isinstance(layer, dict) and 'k' in layer:
             current = layer['k'].shape[1]
             break
-    if current is None or current >= needed_len:
-        # copy: the generate program donates its cache argument, and the
-        # reference contract keeps the caller's inference_params_dict
-        # valid for reuse (evo/generation.py:105-114)
-        return jax.tree_util.tree_map(
-            lambda x: x.copy() if hasattr(x, 'copy') else x, cache)
-    pad = needed_len - current
+    pad = 0 if (current is None or current >= needed_len) \
+        else needed_len - current
     new_layers = []
     for layer in cache['layers']:
-        if isinstance(layer, dict) and 'k' in layer:
+        if pad and isinstance(layer, dict) and 'k' in layer:
             new_layers.append({
                 'k': jnp.pad(layer['k'], ((0, 0), (0, pad), (0, 0), (0, 0))),
                 'v': jnp.pad(layer['v'], ((0, 0), (0, pad), (0, 0), (0, 0))),
             })
         else:
-            new_layers.append(layer)
-    return {'offset': cache['offset'], 'layers': new_layers}
+            # copy EVERY remaining leaf (offset, Hyena state, unpadded KV):
+            # the generate program donates its cache argument, and the
+            # reference contract keeps the caller's inference_params_dict
+            # valid for reuse (evo/generation.py:105-114)
+            new_layers.append(jax.tree_util.tree_map(
+                lambda x: x.copy() if hasattr(x, 'copy') else x, layer))
+    offset = cache['offset']
+    return {'offset': offset.copy() if hasattr(offset, 'copy') else offset,
+            'layers': new_layers}
 
 
 class Generator:
@@ -252,6 +254,8 @@ def generate(
     Equal-length prompts run as one batch; ragged prompts fall back to
     per-prompt runs (reference behavior, lines 238-253).
     """
+    if not prompt_seqs:
+        return [], []
     g = Generator(model, tokenizer, top_k=top_k, top_p=top_p,
                   temperature=temperature)
     uniform = all(len(s) == len(prompt_seqs[0]) for s in prompt_seqs)

@@ -6,7 +6,7 @@ Axes:
   tp — tensor parallel: weights Megatron-sharded across chips (rides ICI).
 
 A `cp` (context/sequence-parallel) axis for 131k prefill composes with these
-via `evo_tpu.parallel.context` (ring attention / channel-local FFT).
+via `the context-parallel attention ops (evo_tpu.ops.ring_attention / ulysses_attention)` (ring attention / channel-local FFT).
 """
 
 from __future__ import annotations
@@ -43,6 +43,8 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
             raise ValueError(f'dp*tp = {dp}*{tp} != device_count {n}')
         return jax.make_mesh((dp, tp), ('dp', 'tp'), axis_types=auto)
     devices = list(devices)
+    if dp == -1:
+        dp = max(1, len(devices) // (tp or len(devices)))
     if tp is None:
         tp = len(devices) // dp
     if dp * tp != len(devices):

@@ -63,8 +63,10 @@ def nucleotide_deep_mutational_scan(
 def parse_blast_output(output_path: str):
     """Parse BLAST `-outfmt 6` tabular output into a DataFrame."""
     import pandas as pd
+    # 12 fields: the reference parser lists only 11 and silently drops
+    # bitscore (evo/utils.py:77-80); keeping it is a strict superset
     cols = ['qacc', 'sacc', 'pident', 'length', 'mismatch', 'gapopen',
-            'qstart', 'qend', 'sstart', 'send', 'evalue']
+            'qstart', 'qend', 'sstart', 'send', 'evalue', 'bitscore']
     rows = []
     with open(output_path) as f:
         for line in f:
@@ -112,7 +114,12 @@ def parse_hmmsearch_output(output_path: str):
         for line in f:
             if line.startswith('#'):
                 continue
-            rows.append(dict(zip(cols, line.strip().split())))
+            # desc is free text (everything after column 22): cap the
+            # split so multi-word descriptions survive (the
+            # reference's plain split() keeps only the first word)
+            rows.append(dict(zip(cols,
+                                 line.strip().split(None,
+                                                    len(cols) - 1))))
     return pd.DataFrame(rows)
 
 

@@ -156,3 +156,24 @@ def test_top_p_zero_keeps_top_token():
         tok = sample(jax.random.PRNGKey(seed), logits, top_p=0.0,
                      temperature=1.0)
         assert int(tok[0]) == 1
+
+
+def test_generate_empty_prompt_list(setup):
+    from evo_tpu.generation import generate
+    model, tokenizer = setup
+    assert generate([], model, tokenizer, n_tokens=4, verbose=0) == ([], [])
+
+
+def test_grow_cache_copies_all_leaves(setup):
+    """Resume with growth must not alias ANY caller buffer (donation
+    safety: offset and Hyena state were previously passed through)."""
+    import jax
+    from evo_tpu import model as model_lib
+    from evo_tpu.generation import _grow_cache
+    model, _ = setup
+    cfg = model.config
+    cache = model_lib.init_cache(cfg, 1, 8)
+    grown = _grow_cache(cache, cfg, 16)
+    for a, b in zip(jax.tree_util.tree_leaves(cache),
+                    jax.tree_util.tree_leaves(grown)):
+        assert a is not b
