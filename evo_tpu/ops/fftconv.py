@@ -282,11 +282,14 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
         raise ValueError(
             'segment continuation (state != None) requires L to be a '
             f'multiple of chunk (L={L}, chunk={C})')
-    u32 = u.astype(jnp.float32)
+    # keep u in its input dtype: the einsums below accumulate in float32
+    # (preferred_element_type), so pre-casting bf16 inputs to f32 changes
+    # nothing numerically while materializing an extra full-size buffer
+    uc_in = u
     if pad:
         # leading zeros convolve to zero and inject nothing into the state
-        u32 = jnp.concatenate(
-            [jnp.zeros((B, D, pad), jnp.float32), u32], axis=-1)
+        uc_in = jnp.concatenate(
+            [jnp.zeros((B, D, pad), u.dtype), uc_in], axis=-1)
     K = (L + pad) // C
 
     p32 = poles.astype(jnp.float32)
@@ -299,7 +302,7 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
     # hoist all 29 layers' (D, C, C) Toeplitz tensors (~270 MB each at 7B)
     # to program start, which would OOM next to the resident weights.
     h_local = materialize_filter(poles, residues, C)          # (D, C)
-    h_local, u32 = jax.lax.optimization_barrier((h_local, u32))
+    h_local, uc_in = jax.lax.optimization_barrier((h_local, uc_in))
     t_idx = jnp.arange(C)
     delta = t_idx[:, None] - t_idx[None, :]                   # (C, C)
     toep = jnp.take(h_local, jnp.maximum(delta, 0), axis=1) * \
@@ -308,7 +311,7 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
         toep = toep + d_skip.astype(jnp.float32)[:, None, None] * \
             jnp.eye(C, dtype=jnp.float32)[None]
 
-    uc = u32.reshape(B, D, K, C)
+    uc = uc_in.reshape(B, D, K, C)
     # HIGH = bf16_3x on TPU (~1e-6 rel): ample for 1e-3 parity,
     # ~40% faster compile than HIGHEST at these batched shapes
     hi = jax.lax.Precision.HIGH
