@@ -25,8 +25,9 @@ import math
 from typing import Any, Dict, List, Tuple
 
 
-class GibsonDesignError(Exception):
-    """Gibson assembly design failure (no viable junctions, oversize)."""
+class GibsonDesignError(ValueError):
+    """Gibson assembly design failure (no viable junctions, oversize,
+    undecodable bases). Subclasses ValueError for caller compatibility."""
 
 
 # Unified NN parameters (SantaLucia & Hicks 2004): (dH kcal/mol, dS cal/K/mol)
@@ -50,7 +51,12 @@ def melting_temperature(sequence: str, dnac1: float = 25.0,
     """Nearest-neighbor Tm in Celsius (duplex with its complement)."""
     seq = sequence.upper()
     if len(seq) < 2:
-        raise ValueError('sequence too short for NN Tm')
+        raise GibsonDesignError('sequence too short for NN Tm')
+    if any(ch not in 'ACGT' for ch in seq):
+        # ambiguity codes (N, ...) make the NN model undefined; raise the
+        # per-sequence error type so batch runs skip the row instead of
+        # dying before writing any output
+        raise GibsonDesignError('non-ACGT base in overlap candidate')
     dh, ds = _INIT
     for terminal in (seq[0], seq[-1]):
         if terminal in 'AT':
@@ -153,10 +159,16 @@ def design_circular_gibson_fragments(
     splits = select_optimal_splits(sequence, top,
                                    target_distance=target_distance)
     split1, split2 = sorted([splits[0]['position'], splits[1]['position']])
-    fragment_1 = sequence[split1:split2] + \
-        sequence[split2:split2 + overlap_length]
+
+    def circ(start: int, length: int) -> str:
+        # wrap-around slice on the circular genome: a junction within
+        # overlap_length of the end must take its overlap from the start
+        d = sequence + sequence
+        return d[start:start + length]
+
+    fragment_1 = sequence[split1:split2] + circ(split2, overlap_length)
     fragment_2 = sequence[split2:] + sequence[:split1] + \
-        sequence[split1:split1 + overlap_length]
+        circ(split1, overlap_length)
     if max(len(fragment_1), len(fragment_2)) > max_fragment_length:
         raise GibsonDesignError(
             f'Fragments exceed maximum allowed length of '

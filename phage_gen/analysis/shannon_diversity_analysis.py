@@ -152,7 +152,10 @@ def analyze(controls_dir: Optional[Path], analysis_dir: Optional[Path],
         for fasta in sorted(controls_dir.iterdir()):
             if fasta.suffix not in ('.fa', '.fna', '.fasta'):
                 continue
-            process(fasta, f'controls_{fasta.stem}', 'controls',
+            # include the suffix in the tag: x.fa and x.fasta must not
+            # share (and silently reuse) one clustering cache dir
+            tag = f"controls_{fasta.name.replace('.', '_')}"
+            process(fasta, tag, 'controls',
                     'controls', 'NA', 'NA', controls_dir.name)
 
     if analysis_dir and analysis_dir.is_dir():

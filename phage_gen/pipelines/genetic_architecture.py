@@ -18,6 +18,7 @@ matrices amounts to). That is the circular cross-correlation
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, Sequence, Tuple
 
@@ -181,10 +182,21 @@ def calculate_genetic_architecture_score_parallel(
         sequences_df, truth_matrix, weight_vector, normalization_vector,
         n_jobs: int = -1) -> List[Tuple[str, np.ndarray]]:
     """Reference-signature batch API: DataFrame with columns
-    ['sequence', 'id_prompt'] -> [(id, (modules,1) score array), ...]."""
-    out = []
-    for _, row in sequences_df.iterrows():
-        out.append((row['id_prompt'], genetic_architecture_score(
-            truth_matrix, row['sequence'], weight_vector,
-            normalization_vector)))
-    return out
+    ['sequence', 'id_prompt'] -> [(id, (modules,1) score array), ...].
+
+    n_jobs follows the joblib convention (-1 = all cores), delegated to a
+    process pool as in the reference (its joblib.Parallel call)."""
+    ids = sequences_df['id_prompt'].tolist()
+    seqs = sequences_df['sequence'].tolist()
+    score_one = functools.partial(
+        genetic_architecture_score, truth_matrix,
+        weight_vector=weight_vector,
+        normalization_vector=normalization_vector)
+    if n_jobs and n_jobs != 1:
+        from concurrent.futures import ProcessPoolExecutor
+        workers = None if n_jobs < 0 else n_jobs
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            scores = list(ex.map(score_one, seqs))
+    else:
+        scores = [score_one(s) for s in seqs]
+    return list(zip(ids, scores))

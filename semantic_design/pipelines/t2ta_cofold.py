@@ -148,8 +148,29 @@ def run_esmfold(config: CofoldConfig, cofold_df) -> None:
             position_ids[0, len(seq1):] += 512
             out = model(**inputs, position_ids=position_ids.to(config.device))
             pdb = model.output_to_pdb(out)[0]
+        # transformers' output_to_pdb emits ONE chain; relabel chain 2 by
+        # residue order so the pDockQ stage sees a two-chain complex
+        pdb = _split_pdb_chains(pdb, len(seq1))
         pair_dir.mkdir(parents=True, exist_ok=True)
         pdb_path.write_text(pdb)
+
+
+def _split_pdb_chains(pdb: str, l1: int) -> str:
+    """Relabel residues after the first `l1` (in order of appearance) as
+    chain B. ESMFold's transformers port writes the whole cofolded
+    multimer as a single chain A, which would make every pDockQ 0."""
+    out_lines = []
+    seen: 'OrderedDict[str, None]' = OrderedDict()
+    for line in pdb.splitlines():
+        if line.startswith(('ATOM', 'HETATM', 'TER')) and len(line) > 26:
+            res_key = line[22:27]
+            if line.startswith(('ATOM', 'HETATM')):
+                seen.setdefault(res_key, None)
+            if res_key in seen:
+                chain = 'A' if list(seen).index(res_key) < l1 else 'B'
+                line = line[:21] + chain + line[22:]
+        out_lines.append(line)
+    return '\n'.join(out_lines) + '\n'
 
 
 def _parse_atm_record(line: str) -> Dict[str, Any]:
@@ -194,9 +215,11 @@ def calc_pdockq(chain_coords, plddt) -> Tuple[float, float, int, float]:
     contacts = np.argwhere(dists[:l1, l1:] <= 8)
     if contacts.size == 0:
         return 0.0, 0.0, 0, float(plddt.mean())
+    # contacts[:, 1] is local to chain 2 — offset by l1 into the
+    # concatenated per-residue plddt array (FoldDock convention)
     avg_if_plddt = float(np.average(np.concatenate(
         [plddt[np.unique(contacts[:, 0])],
-         plddt[np.unique(contacts[:, 1])]])))
+         plddt[np.unique(contacts[:, 1]) + l1]])))
     n_if_contacts = int(contacts.shape[0])
     x = avg_if_plddt * np.log10(n_if_contacts + 1)
     pdockq = float(0.724 / (1 + np.exp(-0.052 * (x - 152.611))) + 0.018)
@@ -223,7 +246,9 @@ def extract_pdockq_scores(config: CofoldConfig) -> None:
                 'if_contacts': n_contacts,
                 'avg_pLDDT': avg_plddt,
             })
-    pd.DataFrame(records).to_csv(config.pdockq_scores_csv, index=False)
+    cols = ['PDB_File', 'pDockQ', 'if_pLDDT', 'if_contacts', 'avg_pLDDT']
+    pd.DataFrame(records, columns=cols).to_csv(config.pdockq_scores_csv,
+                                               index=False)
 
 
 def summarize_pdockq(config: CofoldConfig, cofold_df, pdockq_df) -> None:

@@ -105,7 +105,13 @@ def identify_unique_pairs(df, output_csv: str):
     import pandas as pd
 
     df = df.copy()
-    df['Root_ID'] = df['Evo Sequence ID'].str.extract(r'([A-Za-z0-9]+)_')
+    # root = the full record id before the trailing ORF number, so
+    # '{uuid}_1' -> '{uuid}' and '{uuid}_rc_1' -> '{uuid}_rc'. A bare
+    # prefix regex would merge forward and RC strands of one generation,
+    # producing self-pairs of a protein with its identical RC copy.
+    df['Root_ID'] = (df['Evo Sequence ID'].astype(str)
+                     .str.split().str[0]
+                     .str.rsplit('_', n=1).str[0])
     pairs = []
     for root_id, group in df.groupby('Root_ID'):
         if len(group) < 2:
@@ -121,7 +127,12 @@ def identify_unique_pairs(df, output_csv: str):
                     'Evo Sequence ID 2': ids[j],
                     'Amino Acid Sequence 2': seqs[j],
                 })
-    out = pd.DataFrame(pairs).drop_duplicates()
+    cols = ['Root_ID', 'Evo Sequence ID 1', 'Amino Acid Sequence 1',
+            'Evo Sequence ID 2', 'Amino Acid Sequence 2']
+    # explicit columns: an empty result must still write a HEADER row, or
+    # csv_to_cofold_fasta's read_csv dies with EmptyDataError at the very
+    # end of the pipeline
+    out = pd.DataFrame(pairs, columns=cols).drop_duplicates()
     out.to_csv(output_csv, index=False)
     return out
 
@@ -157,8 +168,11 @@ def csv_to_cofold_fasta(
             if pair in seen:
                 continue
             seen.add(pair)
-            orf1 = str(row[sequence1_id_col]).split('_')[1].split()[0]
-            orf2 = str(row[sequence2_id_col]).split('_')[1].split()[0]
+            # ORF number = the trailing _N of the record id (works for
+            # both '{uuid}_1' and '{uuid}_rc_1'; a fixed split('_')[1]
+            # returned 'rc' for RC-strand records)
+            orf1 = str(row[sequence1_id_col]).split()[0].rsplit('_', 1)[-1]
+            orf2 = str(row[sequence2_id_col]).split()[0].rsplit('_', 1)[-1]
             f.write(f'>{row[root_id_col]},{orf1},{orf2}\n'
                     f'{pair[0]}:\n{pair[1]}\n')
     print(f"Processing complete. Output written to '{cofold_fasta}'.")
