@@ -171,11 +171,14 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             }
             b = _pop(sd, p + 'inner_mha_cls.Wqkv.bias',
                      required=cfg.qkv_proj_bias)
-            if b is not None:
+            # attach only when the config enables the bias: the param tree
+            # must match init_params/param_shardings even if the snapshot
+            # carries the tensor
+            if b is not None and cfg.qkv_proj_bias:
                 attn['bqkv'] = _to_dtype(b.reshape(3, H, Dh), pd)
             b = _pop(sd, p + 'inner_mha_cls.out_proj.bias',
                      required=cfg.mha_out_proj_bias)
-            if b is not None:
+            if b is not None and cfg.mha_out_proj_bias:
                 attn['bo'] = _to_dtype(b, pd)
             blk['attn'] = attn
         else:
@@ -204,15 +207,15 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             }
             b = _pop(sd, p + 'projections.bias',
                      required=cfg.hyena_proj_bias)
-            if b is not None:
+            if b is not None and cfg.hyena_proj_bias:
                 hy['b_in'] = _to_dtype(b.reshape(3, D), pd)
             b = _pop(sd, p + 'filter.short_filter_bias',
                      required=cfg.short_filter_bias)
-            if b is not None:
+            if b is not None and cfg.short_filter_bias:
                 hy['fir_b'] = _to_dtype(b.reshape(3, D), pd)
             b = _pop(sd, p + 'out_filter_dense.bias',
                      required=cfg.hyena_out_proj_bias)
-            if b is not None:
+            if b is not None and cfg.hyena_out_proj_bias:
                 hy['b_out'] = _to_dtype(b, pd)
             blk['hyena'] = hy
         return blk

@@ -28,6 +28,7 @@ from typing import Dict, Optional
 
 from evo_tpu.io.fasta import iter_fasta, write_fasta
 from phage_gen.pipelines.genome_design_filtering_pipeline import (
+    mmseqs_search_proteins,
     append_upstream_of_last_frame_stop,
     assign_numeric_genome_ids,
     batch_convert_gff_to_gbk,
@@ -69,17 +70,14 @@ def run_mmseqs_search_proteins(query_fasta: str, mmseqs_db: str,
                                sensitivity: float = 4.0,
                                e_value: float = 1e-3,
                                only_top_hits: bool = True):
-    """mmseqs easy-search with an explicit E-value cutoff (the annotator's
-    variant of the filtering pipeline's search)."""
-    os.makedirs(results_dir, exist_ok=True)
-    out = os.path.join(results_dir, 'mmseqs_result.m8')
-    log = os.path.join(results_dir, 'mmseqs_search.log')
-    cmd = ['mmseqs', 'easy-search', query_fasta, mmseqs_db, out,
-           results_dir, '--threads', str(threads), '-s', str(sensitivity),
-           '-e', str(e_value), '--remove-tmp-files', '1',
-           '--format-output', 'query,target,evalue,pident']
-    with open(log, 'w') as lf:
-        subprocess.run(cmd, check=True, stdout=lf, stderr=lf)
+    """mmseqs easy-search with an explicit E-value cutoff; delegates to
+    the filtering pipeline's shared command builder so the two stay in
+    sync."""
+    if not os.path.isfile(query_fasta):
+        raise FileNotFoundError(f'FASTA file not found: {query_fasta}')
+    out = mmseqs_search_proteins(query_fasta, mmseqs_db, results_dir,
+                                 threads=threads, sensitivity=sensitivity,
+                                 e_value=e_value)
     return mmseqs_results_to_df(parse_mmseqs_results(out), query_fasta,
                                 output_csv, descriptive_prefix,
                                 only_top_hits)
@@ -101,6 +99,11 @@ def annotate_protein_hits(mmseqs_hits_file: str,
         return hits.merge(
             annot[['protein_database_mmseqs_target', 'annot', 'category']],
             on='protein_database_mmseqs_target', how='left')
+    if 'phrog' not in annot.columns:
+        raise ValueError(
+            "annotation file must have either a 'hit_label' column or a "
+            "PHROGs-style 'phrog' column (with 'annot'/'category'); got "
+            f'columns {list(annot.columns)[:8]}')
     # PHROGs-style table (phrog number key)
     annot['phrog_number'] = annot['phrog'].astype(str).str.extract(
         r'(\d+)')

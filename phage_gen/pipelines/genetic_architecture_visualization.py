@@ -19,6 +19,7 @@ import argparse
 import os
 import shutil
 import subprocess
+import tempfile
 import time
 from concurrent.futures import ProcessPoolExecutor, as_completed
 from pathlib import Path
@@ -45,23 +46,25 @@ def process_single_genome(gff_file: str, query_gff_dir: str,
     isolated temp dir; returns (name, return_code, seconds)."""
     start = time.time()
     genome_name = gff_file.replace('.gff', '')
+    # fresh tempfile dir + finally-cleanup: a dir inside the input GFF
+    # tree that survives an exception would be silently REUSED (with
+    # stale contents) on the next run
+    temp_dir = Path(tempfile.mkdtemp(prefix=f'lovis4u_{genome_name}_'))
     try:
-        temp_dir = Path(query_gff_dir) / \
-            f'temp_{genome_name}_{os.getpid()}'
-        temp_dir.mkdir(exist_ok=True, parents=True)
         shutil.copy(os.path.join(query_gff_dir, gff_file), temp_dir)
         if visualize_against_reference_genome and reference_genome_gff:
             shutil.copy(reference_genome_gff, temp_dir)
         code, _ = run_lovis4u(
             str(temp_dir),
             os.path.join(output_results_dir, genome_name))
-        shutil.rmtree(temp_dir, ignore_errors=True)
         dt = time.time() - start
         print(f'Completed {genome_name} in {dt:.2f}s (rc={code})')
         return genome_name, code, dt
     except Exception as e:                                # noqa: BLE001
         print(f'Error processing {gff_file}: {e}')
         return gff_file, 1, time.time() - start
+    finally:
+        shutil.rmtree(temp_dir, ignore_errors=True)
 
 
 def run_lovis4u_pairwise(query_gff_dir: str,
@@ -84,7 +87,9 @@ def run_lovis4u_pairwise(query_gff_dir: str,
         for fut in as_completed(futures):
             _, code, _ = fut.result()
             failures += int(code != 0)
-    print(f'Done: {len(gff_files) - failures}/{len(gff_files)} succeeded')
+    succeeded = len(gff_files) - failures
+    print(f'Done: {succeeded}/{len(gff_files)} succeeded')
+    return succeeded > 0 or not gff_files
 
 
 def main():
@@ -95,9 +100,14 @@ def main():
     parser.add_argument('--reference-gff', default=None)
     parser.add_argument('--workers', type=int, default=None)
     args = parser.parse_args()
-    run_lovis4u_pairwise(args.gff_dir, args.reference_gff is not None,
-                         args.reference_gff, args.output_dir,
-                         max_workers=args.workers)
+    ok = run_lovis4u_pairwise(args.gff_dir,
+                              args.reference_gff is not None,
+                              args.reference_gff, args.output_dir,
+                              max_workers=args.workers)
+    if not ok:
+        raise SystemExit(
+            'lovis4u visualization failed for every genome (is lovis4u '
+            'installed and on PATH?)')
 
 
 if __name__ == '__main__':

@@ -545,7 +545,8 @@ def valid_genetic_architecture_score(sequences_df, scorer,
 
 def mmseqs_search_proteins(query_fasta: str, mmseqs_db: str,
                            results_dir: str, threads: int = 8,
-                           split: int = 0, sensitivity: float = 4.0) -> str:
+                           split: int = 0, sensitivity: float = 4.0,
+                           e_value: float | None = None) -> str:
     os.makedirs(results_dir, exist_ok=True)
     out = os.path.join(results_dir, 'mmseqs_result.m8')
     log = os.path.join(results_dir, 'mmseqs_search.log')
@@ -553,6 +554,8 @@ def mmseqs_search_proteins(query_fasta: str, mmseqs_db: str,
            results_dir, '--threads', str(threads), '--split', str(split),
            '-s', str(sensitivity), '--remove-tmp-files', '1',
            '--format-output', 'query,target,evalue,pident']
+    if e_value is not None:
+        cmd += ['-e', str(e_value)]
     with open(log, 'w') as lf:
         subprocess.run(cmd, check=True, stdout=lf, stderr=lf)
     return out
@@ -697,24 +700,38 @@ def extract_orf_positions_from_protein_database_hits(
     orf_data: Dict[str, List[dict]] = {}
     for name, _ in iter_fasta(orfs_fasta_file):
         rid = name.split()[0]
-        genome_name = rid.split('_ORF')[0]
+        # orfipy record: '{genome}_ORF.N [start-end](+)'
+        # prodigal / pyrodigal-gv record: '{genome}_N # start # end # strand'
+        pos_match = re.search(r'\[(\d+)-(\d+)\]', name)
+        prodigal_match = None if pos_match else re.search(
+            r'\s#\s(\d+)\s#\s(\d+)\s#\s(-?1)\s#', name)
+        if '_ORF' in rid:
+            genome_name = rid.split('_ORF')[0]
+        else:
+            genome_name = rid.rsplit('_', 1)[0]
         if genome_name not in genome_id_map or rid not in hits:
             continue
         genome_id = genome_id_map[genome_name]
         rec = hits[rid]
-        orf_match = re.search(r'ORF\.\d+', rid)
-        pos_match = re.search(r'\[(\d+)-(\d+)\]', name)
-        if not pos_match:
+        m = re.search(r'ORF\.\d+', rid)
+        orf_id = m.group(0) if m else (
+            f"ORF.{rid.rsplit('_', 1)[-1]}" if prodigal_match else '')
+        if pos_match:
+            start, end = pos_match.groups()
+            sm = re.search(r'\[\d+-\d+\]\((\+|\-)\)', name)
+            strand = sm.group(1) if sm else '+'
+        elif prodigal_match:
+            start, end, s = prodigal_match.groups()
+            strand = '+' if s == '1' else '-'
+        else:
             continue
-        strand_match = re.search(r'\[\d+-\d+\]\((\+|\-)\)', name)
-        start, end = pos_match.groups()
         orf_data.setdefault(genome_id, []).append({
             'seq_id': genome_id, 'feature_type': 'CDS',
             'start': start, 'end': end, 'score': '.',
-            'strand': strand_match.group(1) if strand_match else '+',
+            'strand': strand,
             'phase': '0',
             'attributes': (
-                f"ID={orf_match.group(0) if orf_match else ''};"
+                f"ID={orf_id};"
                 f"function={rec['category']};product={rec['annot']};"
                 f"seq={rec['sequence']};percent_identity="
                 f"{rec['protein_database_mmseqs_percent_identity']}"),

@@ -341,7 +341,7 @@ def process_gene_completion_sequences(
             continue
         prompt = prompt_row['Prompt'].iloc[0]
         prompt_aa = translate_dna_sequence(prompt)
-        info_row = info_df[info_df['Shortened_Sequence'] == prompt]
+        info_row = info_df[info_df['Shortened_Sequence'].astype(str).str.strip() == prompt]
         if info_row.empty or not input_seq.startswith(prompt_aa):
             continue
         label = str(info_row['Protein_Label'].iloc[0])

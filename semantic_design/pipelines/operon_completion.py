@@ -148,7 +148,7 @@ def process_operon_sequences(input_fasta, uuid_prompts_csv, prompt_info_csv,
             logger.warning('No matching prompt for UUID %s', uuid_val)
             continue
         prompt = prompt_match['Prompt'].iloc[0]
-        response_match = info_df[info_df['Prompt'] == prompt]
+        response_match = info_df[info_df['Prompt'].astype(str).str.strip() == prompt]
         if response_match.empty:
             logger.warning('No expected response for prompt %s', prompt)
             continue
@@ -163,7 +163,7 @@ def process_operon_sequences(input_fasta, uuid_prompts_csv, prompt_info_csv,
                                                 str(mafft_path))
             if ident is not None and ident > best_identity:
                 best_identity, best_seq = ident, seq
-        if best_seq is None or best_identity < 0:
+        if best_seq is None:
             continue
         rows.append({
             'UUID': uuid_val,
@@ -174,12 +174,9 @@ def process_operon_sequences(input_fasta, uuid_prompts_csv, prompt_info_csv,
             'Sequence_Identity': best_identity,
         })
 
+    # rows are built per UUID (one best sequence each), so no dedup pass
+    # is needed
     df = pd.DataFrame(rows)
-    if not df.empty:
-        df = (df.sort_values('Sequence_Identity', ascending=False)
-              .drop_duplicates(subset=['UUID', 'Expected_Response'],
-                               keep='first')
-              .reset_index(drop=True))
     df.to_csv(output_msa_csv, index=False)
     create_summary_statistics(df, output_summary_csv)
     logger.info('Results saved to %s', output_msa_csv)

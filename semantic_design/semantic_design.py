@@ -52,7 +52,9 @@ def read_prompts(input_file: str, batched: bool = True,
     with open(input_file, encoding='utf-8-sig', newline='') as f:
         reader = csv.reader(f)
         next(reader)                       # header
-        prompts = [row[0] for row in reader if row]
+        # strip prompt cells: sample_model records stripped prompts,
+        # and downstream CSV joins on the prompt string must match
+        prompts = [row[0].strip() for row in reader if row]
     if not batched:
         return prompts
     by_len: Dict[int, List[str]] = {}

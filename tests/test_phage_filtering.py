@@ -297,3 +297,40 @@ def test_syntenic_gene_count_filter(tmp_path):
     assert not (gffs / 'genome_2.gff').exists()
     assert not (gbks / 'genome_2.gbk').exists()
     assert not (root / 'genome_2').exists()
+
+
+def test_orf_positions_prodigal_headers(tmp_path):
+    """The GFF extraction must understand prodigal/pyrodigal headers
+    ('{genome}_{i} # start # end # strand # ...') as well as orfipy's —
+    previously those records were silently skipped and annotator GFFs
+    came out gene-less."""
+    from evo_tpu.io.fasta import write_fasta
+    from phage_gen.pipelines.genome_design_filtering_pipeline import (
+        extract_orf_positions_from_protein_database_hits)
+    import pandas as pd
+    orfs = tmp_path / 'orfs.fasta'
+    write_fasta(str(orfs),
+                ['g1_1 # 3 # 98 # 1 # ID=1_1',
+                 'g1_2 # 120 # 260 # -1 # ID=1_2',
+                 'g2_ORF.1 [5-70](+)'],
+                ['ATG' * 32, 'ATG' * 47, 'ATG' * 22])
+    genomes = tmp_path / 'genomes.fasta'
+    write_fasta(str(genomes), ['g1', 'g2'], ['ACGT' * 75, 'ACGT' * 25])
+    hits = pd.DataFrame({
+        'id_prompt': ['g1_1', 'g1_2', 'g2_ORF.1'],
+        'category': ['head', 'tail', 'lysis'],
+        'annot': ['capsid', 'fiber', 'lysin'],
+        'sequence': ['M' * 5] * 3,
+        'protein_database_mmseqs_target': ['t1', 't2', 't3'],
+        'protein_database_mmseqs_percent_identity': [90.0, 80.0, 70.0],
+    })
+    orf_data = extract_orf_positions_from_protein_database_hits(
+        str(genomes), str(orfs), hits,
+        {'g1': 'genome_1', 'g2': 'genome_2'})
+    g1 = [f for f in orf_data['genome_1'] if f['feature_type'] == 'CDS']
+    assert len(g1) == 2
+    assert (g1[0]['start'], g1[0]['end'], g1[0]['strand']) == ('3', '98', '+')
+    assert g1[1]['strand'] == '-'
+    assert 'ID=ORF.1;' in g1[0]['attributes']
+    g2 = [f for f in orf_data['genome_2'] if f['feature_type'] == 'CDS']
+    assert len(g2) == 1 and g2[0]['strand'] == '+'
