@@ -32,23 +32,41 @@ def prefetch_map(fn: Callable[[T], U], items: Iterable[T],
         return
 
     q: 'queue.Queue' = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(msg) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator (a plain q.put would block the worker forever)
+        while not stop.is_set():
+            try:
+                q.put(msg, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in items:
-                q.put(('ok', fn(item)))
+                if stop.is_set():
+                    return
+                if not _put(('ok', fn(item))):
+                    return
         except BaseException as e:          # noqa: BLE001 - re-raised below
-            q.put(('err', e))
+            _put(('err', e))
         finally:
-            q.put((_SENTINEL, None))
+            _put((_SENTINEL, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        kind, val = q.get()
-        if kind is _SENTINEL:
-            break
-        if kind == 'err':
-            raise val
-        yield val
-    t.join()
+    try:
+        while True:
+            kind, val = q.get()
+            if kind is _SENTINEL:
+                break
+            if kind == 'err':
+                raise val
+            yield val
+        t.join()
+    finally:
+        stop.set()

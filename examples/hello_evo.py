@@ -27,10 +27,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from evo_tpu import Evo, generate, positional_entropies, score_sequences
 from evo_tpu.io.fasta import read_fasta
 
-TINY_OVERRIDES = dict(
-    hidden_size=64, num_filters=64, num_layers=4, attn_layer_idxs=(1,),
-    hyena_layer_idxs=(), num_attention_heads=4, state_size=4,
-    compute_dtype='float32', param_dtype='float32', use_pallas='never')
+from evo_tpu.config import cli_tiny_overrides
+
+TINY_OVERRIDES = cli_tiny_overrides()
 
 
 def main():
@@ -50,7 +49,8 @@ def main():
     print(f'{args.model_name}: {model.num_params / 1e6:.1f}M parameters')
 
     print('\n== Scoring the example FASTA ==')
-    names, seqs = read_fasta('examples/example_seqs.fasta')
+    names, seqs = read_fasta(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 'example_seqs.fasta'))
     scores = score_sequences(seqs, model, tokenizer)
     for name, seq, score in zip(names, seqs, scores):
         print(f'  {name:24s} len={len(seq):3d} mean-logprob={score:+.4f}')

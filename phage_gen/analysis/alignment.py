@@ -54,7 +54,10 @@ def global_align(a: str, b: str, match: int = 1, mismatch: int = -1,
         best_du = np.maximum(diag, up)          # (m,)
         # candidates entering from the left chain:
         # cur[j] = max(cur0 + j*gap, max_{k<=j} best_du[k-1] + (j-k)*gap)
-        cur0 = prev[0] + gap
+        # with free terminal gaps the first COLUMN is free too (leading
+        # overhang of `a`); freeing only the first row made alignment
+        # asymmetric and penalized a-side overhangs
+        cur0 = 0 if terminal_free else prev[0] + gap
         t = np.empty(m + 1, dtype=np.int64)
         t[0] = cur0                             # k = 0 sentinel
         t[1:] = best_du - offsets[1:]           # best_du[k-1] - k*gap

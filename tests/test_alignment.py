@@ -123,3 +123,15 @@ def test_terminal_free_overhang_identity():
     got = percent_identity(ref, ext, match=5, mismatch=-4, gap=-10,
                            terminal_free=True, mode='not_terminal')
     assert got == 100.0
+
+
+def test_terminal_free_symmetric_overhangs():
+    """Leading overhangs on EITHER side must be free under terminal_free
+    (the first DP column was previously still penalized)."""
+    from phage_gen.analysis.alignment import percent_identity
+    core = 'ACGTTGCAATCGGATCCTAG'
+    a = 'TTTTT' + core
+    kw = dict(match=5, mismatch=-4, gap=-10, terminal_free=True,
+              mode='not_terminal')
+    assert percent_identity(a, core, **kw) == 100.0
+    assert percent_identity(core, a, **kw) == 100.0
