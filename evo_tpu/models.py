@@ -142,16 +142,58 @@ def load_checkpoint(
         config = config.replace(**config_overrides)
     if random_init:
         params = model_lib.init_params(jax.random.PRNGKey(seed), config)
-    elif checkpoint_path is not None:
-        from evo_tpu.checkpoint import load_params_auto
-        params = load_params_auto(checkpoint_path, config, mesh=mesh)
     else:
-        raise ValueError(
-            'No checkpoint source: pass checkpoint_path= (local HF '
-            'safetensors snapshot or converted evo_tpu checkpoint) or '
-            'random_init=True. This environment has no network access, so '
-            'automatic HF download is not available.')
+        if checkpoint_path is None:
+            checkpoint_path = snapshot_download(model_name)
+        from evo_tpu import checkpoint as ckpt
+        if ckpt.is_native_checkpoint(checkpoint_path):
+            params = ckpt.load_params_auto(checkpoint_path, config,
+                                           mesh=mesh)
+        else:
+            # reference snapshot: checkpoint shapes are ground truth —
+            # the adapted config (true inner_mlp_size etc.) comes back
+            params, config = ckpt.load_reference_checkpoint_adaptive(
+                checkpoint_path, config, mesh=mesh)
     return EvoModel(config, params, mesh=mesh), config
+
+
+def hf_revision(model_name: str) -> str:
+    """Pinned snapshot revision: `1.1_fix` for the evo-1 base models,
+    `main` otherwise (reference `evo/models.py:92`)."""
+    return ('1.1_fix' if model_name in ('evo-1-8k-base', 'evo-1-131k-base')
+            else 'main')
+
+
+def snapshot_download(model_name: str) -> str:
+    """Fetch (or locate in the local HF cache) the safetensors snapshot for
+    `model_name` via `huggingface_hub` (reference `evo/models.py:96`).
+
+    Raises a clear error when the hub is unreachable and nothing is cached,
+    pointing at the offline alternatives (`checkpoint_path=` /
+    `random_init=True`).
+    """
+    repo = HF_MODEL_NAME_MAP[model_name]
+    rev = hf_revision(model_name)
+    try:
+        from huggingface_hub import snapshot_download as hf_fetch
+    except ImportError as e:
+        raise RuntimeError(
+            f'huggingface_hub is not installed; pass checkpoint_path= to a '
+            f'local snapshot of {repo} (revision {rev}) or random_init=True.'
+        ) from e
+    try:
+        return hf_fetch(repo, revision=rev)
+    except Exception:
+        # one retry against the local cache only (works fully offline)
+        try:
+            return hf_fetch(repo, revision=rev, local_files_only=True)
+        except Exception as e:
+            raise RuntimeError(
+                f'Could not download {repo}@{rev} from the HuggingFace hub '
+                f'and no cached copy exists. If this machine has no network '
+                f'access, stage the snapshot manually and pass '
+                f'checkpoint_path=<dir>, or use random_init=True for '
+                f'schema-only runs.') from e
 
 
 class Evo:

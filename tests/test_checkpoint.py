@@ -133,6 +133,140 @@ def test_safetensors_round_trip(tiny, tmp_path):
         rtol=1e-5, atol=1e-5)
 
 
+def test_export_matches_independent_inverse(tiny):
+    """Production `export_state_dict` agrees with this file's independently
+    written inverse on every tensor (layouts, transposes, reshapes)."""
+    cfg, params = tiny
+    want = _params_to_engine_sd(params, cfg)
+    got = checkpoint.export_state_dict(params, cfg, include_buffers=False)
+    extra = set(want) - set(got)
+    assert all('inv_freq' in k for k in extra), extra
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v.shape == want[k].shape, k
+        np.testing.assert_allclose(np.asarray(v, np.float32),
+                                   np.asarray(want[k], np.float32),
+                                   rtol=0, atol=0, err_msg=k)
+
+
+def test_export_convert_round_trip_bf16(tiny):
+    """convert(export(p)) is bit-exact in bf16: the layout schema is
+    self-consistent including dtype policy (fp32 poles/residues)."""
+    cfg, params = tiny
+    cfg16 = cfg.replace(param_dtype='bfloat16')
+    params16 = jax.tree_util.tree_map(
+        lambda x: x, checkpoint.convert_state_dict(
+            _params_to_engine_sd(params, cfg), cfg16))
+    sd = checkpoint.export_state_dict(params16, cfg16)
+    got = checkpoint.convert_state_dict(sd, cfg16)
+    for path_want, want in jax.tree_util.tree_flatten_with_path(params16)[0]:
+        g = dict(jax.tree_util.tree_flatten_with_path(got)[0])[path_want]
+        assert g.dtype == want.dtype, path_want
+        np.testing.assert_array_equal(
+            np.asarray(g).view(np.uint16) if g.dtype == jnp.bfloat16
+            else np.asarray(g),
+            np.asarray(want).view(np.uint16) if want.dtype == jnp.bfloat16
+            else np.asarray(want), err_msg=str(path_want))
+
+
+def test_write_snapshot_sharded_and_adaptive_load(tiny, tmp_path):
+    """write_reference_snapshot(num_shards=3) produces an index.json layout
+    the sharded reader + adaptive loader consume; forward outputs match."""
+    cfg, params = tiny
+    cfg16 = cfg.replace(param_dtype='bfloat16')
+    params16 = checkpoint.convert_state_dict(
+        _params_to_engine_sd(params, cfg), cfg16)
+    path = str(tmp_path / 'snap')
+    checkpoint.write_reference_snapshot(params16, cfg16, path, num_shards=3)
+    import os
+    assert os.path.exists(os.path.join(path,
+                                       'model.safetensors.index.json'))
+    got, cfg_out = checkpoint.load_reference_checkpoint_adaptive(
+        path, cfg16, verbose=False)
+    assert cfg_out == cfg16
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 9), 0, 512)
+    np.testing.assert_array_equal(
+        np.asarray(model_lib.forward(got, cfg16, ids)),
+        np.asarray(model_lib.forward(params16, cfg16, ids)))
+
+
+def test_validate_state_dict_reports(tiny):
+    cfg, params = tiny
+    sd = checkpoint.export_state_dict(params, cfg)
+    report = checkpoint.validate_state_dict(sd, cfg)
+    assert report['ok'], checkpoint.format_validation_report(report)
+    assert report['ignored_buffers']          # inv_freq present
+    bad = dict(sd)
+    removed = 'blocks.0.filter.poles'
+    bad.pop(removed)
+    bad['blocks.0.filter.novel'] = np.zeros(2, np.float32)
+    bad['norm.scale'] = np.zeros((3, 3), np.float32)
+    report = checkpoint.validate_state_dict(bad, cfg)
+    assert not report['ok']
+    assert removed in report['missing']
+    assert 'blocks.0.filter.novel' in report['unexpected']
+    assert 'norm.scale' in report['shape_mismatch']
+    text = checkpoint.format_validation_report(report)
+    assert 'FAILED' in text and removed in text
+
+
+def test_infer_config_overrides_from_shapes(tiny):
+    """The snapshot is ground truth: a different inner MLP width / state
+    size / layer partition is adopted from the real shapes (SURVEY §2.A)."""
+    cfg, _ = tiny
+    cfg_real = cfg.replace(inner_mlp_size=96, state_size=6,
+                           attn_layer_idxs=(2,), hyena_layer_idxs=())
+    params = model_lib.init_params(jax.random.PRNGKey(7), cfg_real)
+    sd = checkpoint.export_state_dict(params, cfg_real)
+    ovr = checkpoint.infer_config_overrides(sd, cfg)
+    assert ovr['inner_mlp_size'] == 96
+    assert ovr['state_size'] == 6
+    assert ovr['attn_layer_idxs'] == (2,)
+    # adaptive load end-to-end: wrong prior config, right result
+    got, cfg_out = None, None
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.write_reference_snapshot(params, cfg_real, d)
+        got, cfg_out = checkpoint.load_reference_checkpoint_adaptive(
+            d, cfg, verbose=False)
+    assert cfg_out.inner_mlp_size == 96
+    assert cfg_out.state_size == 6
+    ids = jax.random.randint(jax.random.PRNGKey(4), (1, 6), 0, 512)
+    np.testing.assert_allclose(
+        np.asarray(model_lib.forward(got, cfg_out, ids)),
+        np.asarray(model_lib.forward(params, cfg_real, ids)),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_infer_config_rejects_wrong_hidden_size(tiny):
+    cfg, params = tiny
+    sd = checkpoint.export_state_dict(params, cfg)
+    with pytest.raises(ValueError, match='hidden_size'):
+        checkpoint.infer_config_overrides(
+            sd, cfg.replace(hidden_size=cfg.hidden_size * 2,
+                            num_filters=cfg.hidden_size * 2))
+
+
+def test_verify_parity_harness_self_consistent(tiny):
+    """compute_outputs vs itself passes; a perturbed copy fails (the
+    comparison actually discriminates)."""
+    from evo_tpu.models import EvoModel
+    from evo_tpu.tokenizer import CharLevelTokenizer
+    from scripts.verify_parity import compare, compute_outputs
+
+    cfg, params = tiny
+    model = EvoModel(cfg, params)
+    tok = CharLevelTokenizer(512)
+    seqs = ['ACGT', 'CAGATTCCATT']
+    ours = compute_outputs(model, tok, seqs, greedy_tokens=4)
+    assert {'logits_0', 'logits_1', 'scores_mean', 'scores_sum',
+            'greedy_ids'} <= set(ours)
+    assert compare(dict(ours), dict(ours), tol=1e-3)
+    bad = dict(ours)
+    bad['scores_mean'] = ours['scores_mean'] + 1.0
+    assert not compare(bad, dict(ours), tol=1e-3)
+
+
 def test_native_save_load_round_trip(tiny, tmp_path):
     cfg, params = tiny
     path = str(tmp_path / 'native')
