@@ -176,11 +176,212 @@ def bench_scaling(cfg, batch: int, length: int):
     return results
 
 
+def _decode_roofline(cfg, batch: int) -> float:
+    """Aggregate tokens/s at 100% HBM bandwidth (weights read once per
+    decode step, amortized over the batch) — the decode target."""
+    from evo_tpu import model as model_lib
+    param_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(
+            jax.eval_shape(lambda k: model_lib.init_params(k, cfg),
+                           jax.random.PRNGKey(0))))
+    hbm_gbps = {'v5 lite': 819e9, 'v5e': 819e9, 'v5p': 2765e9,
+                'v4': 1228e9, 'v6': 1638e9}
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ''
+    bw = next((v for key, v in hbm_gbps.items() if key in kind), 819e9)
+    return batch * bw / param_bytes
+
+
+def kernel_verify() -> dict:
+    """Compiled-on-chip oracle checks for every Pallas kernel across the
+    production block/length/dtype grid (VERDICT r1 next-step #4): the
+    regression guard the round-1 flash-attention causal-skip bug showed is
+    needed. Runs on whatever the default backend is (the TPU under the
+    driver; interpret-mode CPU coverage lives in tests/)."""
+    import numpy as np
+
+    from evo_tpu.layers.attention import sdpa_causal
+    from evo_tpu.layers.norms import rmsnorm
+    from evo_tpu.ops import fftconv
+    from evo_tpu.ops.pallas_attention import flash_attention_causal
+    from evo_tpu.ops.pallas_fir import fir_gate_pallas, fir_gate_supported
+    from evo_tpu.ops.pallas_rmsnorm import rmsnorm_pallas
+
+    checks = []
+
+    def record(name, got, want, tol):
+        got = np.asarray(got, np.float32)
+        want = np.asarray(want, np.float32)
+        err = float(np.max(np.abs(got - want)))
+        scale = max(1.0, float(np.max(np.abs(want))))
+        checks.append({'name': name, 'err': err,
+                       'ok': bool(err <= tol * scale)})
+
+    key = jax.random.PRNGKey(0)
+    # flash attention: production blocks (512, 1024), the block_q > block_k
+    # shape class that carried the round-1 bug, non-block-multiple lengths,
+    # both dtypes
+    H, Dh = 4, 128
+    for L, bq, bk in [(2048, 512, 1024), (8192, 512, 1024),
+                      (2048, 2048, 512), (1000, 512, 1024),
+                      (2048, 256, 256)]:
+        for dt, tol in [(jnp.bfloat16, 3e-2), (jnp.float32, 2e-4)]:
+            ks = jax.random.split(jax.random.fold_in(key, L + bq), 3)
+            q = jax.random.normal(ks[0], (1, L, H, Dh), jnp.float32)
+            k = jax.random.normal(ks[1], (1, L, H, Dh), jnp.float32)
+            v = jax.random.normal(ks[2], (1, L, H, Dh), jnp.float32)
+            q, k, v = (x.astype(dt) for x in (q, k, v))
+            got = jax.jit(functools.partial(
+                flash_attention_causal, block_q=bq, block_k=bk))(q, k, v)
+            want = sdpa_causal(q, k, v)
+            record(f'flash_attn L={L} blocks=({bq},{bk}) {dt.__name__}',
+                   got, want, tol)
+    # fused FIR+gate: production shape class (3 streams, 4096 channels)
+    for C, L, dt, tol in [(4096, 8192, jnp.bfloat16, 3e-2),
+                          (512, 1024, jnp.float32, 2e-4)]:
+        ks = jax.random.split(jax.random.fold_in(key, C), 3)
+        z = jax.random.normal(ks[0], (1, 3, C, L), jnp.float32).astype(dt)
+        w = (jax.random.normal(ks[1], (3, C, 3), jnp.float32) / 2).astype(dt)
+        b = (jax.random.normal(ks[2], (3, C), jnp.float32) / 8).astype(dt)
+        if not fir_gate_supported(z.shape, z.dtype):
+            checks.append({'name': f'fir_gate C={C}', 'err': -1.0,
+                           'ok': False})
+            continue
+        x2, u = jax.jit(fir_gate_pallas)(z, w, b)
+        z_ref, _ = fftconv.fir_causal_conv(z, w, b, None)
+        record(f'fir_gate x2 C={C} L={L} {dt.__name__}', x2, z_ref[:, 0],
+               tol)
+        record(f'fir_gate u C={C} L={L} {dt.__name__}', u,
+               z_ref[:, 1] * z_ref[:, 2], tol)
+    # fused RMSNorm
+    for shape, dt, tol in [((2, 2048, 4096), jnp.bfloat16, 3e-2),
+                           ((1, 512, 512), jnp.float32, 2e-4)]:
+        x = jax.random.normal(jax.random.fold_in(key, shape[-1]),
+                              shape, jnp.float32).astype(dt)
+        w = jnp.ones((shape[-1],), dt)
+        record(f'rmsnorm {shape} {dt.__name__}',
+               jax.jit(rmsnorm_pallas)(x, w), rmsnorm(x, w), tol)
+
+    n_fail = sum(1 for c in checks if not c['ok'])
+    return {
+        'status': 'pass' if n_fail == 0 else
+                  'fail: ' + '; '.join(c['name'] for c in checks
+                                       if not c['ok']),
+        'checks': len(checks),
+        'max_err': max(c['err'] for c in checks),
+    }
+
+
+def _run_all(args) -> None:
+    """Preset 'all': the full driver-relevant metric set in ONE JSON line
+    (VERDICT r1 next-step #3) — headline 8k prefill plus extras for the
+    131k-config prefill, fused decode at B=1/B=8, the scoring pipeline,
+    and the on-chip kernel verification. Sections are skipped (and marked)
+    once the wall-clock budget is spent; compile caching makes warm reruns
+    cover everything."""
+    from evo_tpu.models import config_for_model
+
+    t_start = time.time()
+    deadline = t_start + args.budget_s
+    cfg8 = config_for_model('evo-1-8k-base')
+    extras: dict = {}
+
+    # headline: 7B prefill B=1 L=8192 (always measured)
+    tps8 = bench_prefill(cfg8, 1, 8192)
+    target8 = 0.5 * _chip_peak_flops() / _model_flops_per_token(cfg8)
+
+    def left() -> float:
+        return deadline - time.time()
+
+    # kernel verification first among the extras: it is the regression
+    # guard (a wrong kernel invalidates every other number)
+    if left() > 0:
+        kv = kernel_verify()
+        extras['kernel_verify'] = kv['status']
+        extras['kernel_verify_detail'] = (
+            f"{kv['checks']} checks, max_err {kv['max_err']:.2e}")
+    else:
+        extras['kernel_verify'] = 'skipped (budget)'
+
+    if left() > 0:
+        cfg131 = config_for_model('evo-1-131k-base')
+        tps = bench_prefill(cfg131, 1, 16384)
+        extras['prefill_131k_config_L16384'] = {
+            'value': round(tps, 2), 'unit': 'tokens/s',
+            'vs_baseline': round(tps * 2 * _model_flops_per_token(cfg131)
+                                 / _chip_peak_flops(), 4)}
+    else:
+        extras['prefill_131k_config_L16384'] = 'skipped (budget)'
+
+    for batch in (1, 8):
+        key = f'decode_fused_b{batch}'
+        if left() > 0:
+            tps = bench_generate(cfg8, batch)
+            extras[key] = {
+                'value': round(tps, 2), 'unit': 'tokens/s aggregate',
+                'vs_baseline': round(tps / _decode_roofline(cfg8, batch),
+                                     4)}
+        else:
+            extras[key] = 'skipped (budget)'
+
+    if left() > 0:
+        tps = bench_scoring(cfg8)
+        extras['scoring_pipeline'] = {
+            'value': round(tps, 2), 'unit': 'tokens/s',
+            'vs_baseline': round(tps / target8, 4)}
+    else:
+        extras['scoring_pipeline'] = 'skipped (budget)'
+
+    print(json.dumps({
+        'metric': 'prefill_tokens_per_sec_per_chip_evo-1-8k-base-7b',
+        'value': round(tps8, 2),
+        'unit': 'tokens/s',
+        'vs_baseline': round(tps8 / target8, 4),
+        'extras': extras,
+        'bench_seconds': round(time.time() - t_start, 1),
+    }))
+
+
+def bench_scoring(cfg, n_seqs: int = 2, seq_len: int = 8191):
+    """End-to-end scoring-pipeline throughput: tokenize -> prepare_batch ->
+    forward -> logprob gather -> host reduction (`score_sequences`,
+    SURVEY.md §3.1), tokens/s including host-side work."""
+    import numpy as np
+
+    from evo_tpu import model as model_lib
+    from evo_tpu.models import EvoModel
+    from evo_tpu.scoring import score_sequences
+    from evo_tpu.tokenizer import CharLevelTokenizer
+
+    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    model = EvoModel(cfg, params)
+    tok = CharLevelTokenizer(512)
+    rng = np.random.default_rng(0)
+    seqs = [''.join(rng.choice(list('ACGT'), seq_len)) for _ in
+            range(n_seqs)]
+    score_sequences(seqs[:1] * n_seqs, model, tok)     # compile + warmup
+    t0 = time.perf_counter()
+    score_sequences(seqs, model, tok)
+    dt = time.perf_counter() - t0
+    return n_seqs * (seq_len + 1) / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--preset', default='prefill8k',
-                    choices=['prefill8k', 'prefill131k', 'decode',
+    ap.add_argument('--preset', default='all',
+                    choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling'])
+    ap.add_argument('--budget-s', type=float, default=540.0,
+                    help="wall-clock budget for preset 'all': sections "
+                         'are skipped once exceeded (compile caching makes '
+                         'warm reruns fit easily)')
+    ap.add_argument('--verify', action='store_true',
+                    help='run ONLY the on-chip Pallas kernel verification '
+                         'and exit (also included in preset all)')
     ap.add_argument('--batch', type=int, default=1)
     ap.add_argument('--length', type=int, default=None)
     ap.add_argument('--profile', default=None, metavar='DIR',
@@ -197,6 +398,24 @@ def main():
     from evo_tpu.config import tiny_config
 
     on_tpu = jax.default_backend() == 'tpu'
+
+    if args.verify:
+        kv = kernel_verify() if on_tpu else {
+            'status': 'skipped (no TPU backend; interpret-mode kernel '
+                      'tests live in tests/)', 'checks': 0, 'max_err': 0.0}
+        print(json.dumps({'metric': 'kernel_verify',
+                          'value': kv['checks'], 'unit': 'checks',
+                          'vs_baseline': 1.0 if kv['status'] == 'pass'
+                          else 0.0, 'kernel_verify': kv['status'],
+                          'max_err': kv['max_err']}))
+        sys.exit(0 if kv['status'] == 'pass' or not on_tpu else 1)
+
+    if args.preset == 'all' and on_tpu:
+        _run_all(args)
+        return
+    if args.preset == 'all':
+        args.preset = 'tiny'
+
     if args.preset == 'tiny' or not on_tpu:
         cfg = tiny_config(max_sequence_len=2048)
         batch, length = 2, 512

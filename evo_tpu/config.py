@@ -102,8 +102,15 @@ class ModelConfig:
     # the conv at 3.2 ms/layer vs 4.9 (128) and 10.0 (256) — smaller taps
     # halve the Toeplitz flops while K=L/64 rows still fill the MXU.
     hyena_matmul_chunk: int = 64
+    # Context-parallel attention algorithm when the mesh has an active cp
+    # axis: 'ulysses' (GSPMD all_to_all seq<->head reshard; flash-eligible
+    # dense core; needs heads % (tp*cp) == 0), 'ring' (ppermute KV
+    # rotation, seq stays sharded), or 'zigzag' (ring with balanced causal
+    # block assignment — ~2x less attention compute than 'ring' at scale).
+    cp_attn: str = 'ulysses'
 
     def __post_init__(self):
+        assert self.cp_attn in ('ulysses', 'ring', 'zigzag'), self.cp_attn
         # tuples so the config is hashable (required for static jit args)
         object.__setattr__(self, 'attn_layer_idxs', tuple(self.attn_layer_idxs))
         if not self.hyena_layer_idxs:

@@ -60,7 +60,9 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
         if mesh is None:
             return flash_attention_causal(q, k, v)
         from jax.sharding import PartitionSpec as P
-        spec = P('dp', None, 'tp', None)
+
+        from evo_tpu.parallel.mesh import channel_axes
+        spec = P('dp', None, channel_axes(mesh), None)
         fn = jax.shard_map(
             lambda a, b, c: flash_attention_causal(a, b, c),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -79,12 +81,49 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
     return y.astype(q.dtype)
 
 
-def _out(p, x_dtype, y):
+def _out(p, x_dtype, y, mesh=None):
     # wo: (H, Dh, D) — head axis explicit for TP row sharding
     o = jnp.einsum('blhe,hed->bld', y, p['wo'].astype(x_dtype))
     if 'bo' in p:
         o = o + p['bo'].astype(x_dtype)
+    from evo_tpu.parallel.mesh import has_cp
+    if has_cp(mesh):
+        from evo_tpu.parallel.sharding import residual_constraint
+        o = residual_constraint(o, mesh)
     return o
+
+
+def _cp_reshard_qkv(cfg: ModelConfig, mesh, q, k, v):
+    """Pin q/k/v to the context-parallel attention layout.
+
+    'ulysses': heads sharded over (tp, cp), full sequence — the constraint
+    makes XLA insert the seq<->head all_to_all (the Ulysses reshard) on
+    entry; the attention core is then the plain dense/flash kernel.
+    'ring'/'zigzag': sequence stays sharded on cp, heads on tp; the ring
+    ops move KV blocks with ppermute instead.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from evo_tpu.parallel.mesh import channel_axes
+    if cfg.cp_attn == 'ulysses':
+        spec = P('dp', None, channel_axes(mesh), None)
+    else:
+        spec = P('dp', 'cp', 'tp', None)
+    s = NamedSharding(mesh, spec)
+    return (jax.lax.with_sharding_constraint(q, s),
+            jax.lax.with_sharding_constraint(k, s),
+            jax.lax.with_sharding_constraint(v, s))
+
+
+def _cp_attend(cfg: ModelConfig, mesh, q, k, v, use_pallas: bool):
+    if cfg.cp_attn == 'ulysses':
+        return sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
+    from evo_tpu.ops.ring_attention import (ring_attention,
+                                            zigzag_ring_attention)
+    fn = (zigzag_ring_attention if cfg.cp_attn == 'zigzag'
+          else ring_attention)
+    return fn(q, k, v, mesh, axis_name='cp', batch_axis='dp',
+              head_axis='tp', use_pallas=use_pallas)
 
 
 def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
@@ -102,11 +141,19 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     is masked out). The default path attends only within the new block
     (fresh prefill; flash kernel eligible).
     """
+    from evo_tpu.parallel.mesh import has_cp
     q, k, v = _qkv(p, cfg, x)
     q, k = _rotate(cfg, q, k, offset)
+    if has_cp(mesh):
+        q, k, v = _cp_reshard_qkv(cfg, mesh, q, k, v)
+
+    def attend(q, k, v):
+        if has_cp(mesh):
+            return _cp_attend(cfg, mesh, q, k, v, use_pallas)
+        return sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
+
     if kv_buffers is None:
-        y = sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
-        return _out(p, x.dtype, y), None
+        return _out(p, x.dtype, attend(q, k, v), mesh), None
 
     k_buf, v_buf = kv_buffers
     k_buf = jax.lax.dynamic_update_slice(
@@ -114,8 +161,7 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     v_buf = jax.lax.dynamic_update_slice(
         v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
     if not attend_buffer:
-        y = sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
-        return _out(p, x.dtype, y), (k_buf, v_buf)
+        return _out(p, x.dtype, attend(q, k, v), mesh), (k_buf, v_buf)
 
     B, L, H, Dh = q.shape
     T = k_buf.shape[1]
@@ -160,7 +206,7 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     (m_f, l_f, acc), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     y = jnp.swapaxes(acc / jnp.maximum(l_f, 1e-30)[..., None],
                      1, 2).astype(q.dtype)
-    return _out(p, x.dtype, y), (k_buf, v_buf)
+    return _out(p, x.dtype, y, mesh), (k_buf, v_buf)
 
 
 def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):

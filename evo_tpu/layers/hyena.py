@@ -71,6 +71,18 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     z = jnp.einsum('bld,dtc->btcl', x, p['w_in'].astype(x.dtype))
     if 'b_in' in p:
         z = z + p['b_in'].astype(x.dtype)[None, :, :, None]
+    from evo_tpu.parallel.mesh import channel_axes, has_cp
+    ch = channel_axes(mesh)
+    if has_cp(mesh):
+        # context parallelism: the residual stream arrives seq-sharded on
+        # cp. Reshard to channel-sharded/full-sequence (channels over
+        # tp x cp) — one all_to_all within each cp group — and the whole
+        # mixer body below (FIR, gating, long conv, d_skip) is then
+        # channel-local with zero sequence-axis communication
+        # (SURVEY.md §5 long-context plan).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        z = jax.lax.with_sharding_constraint(
+            z, NamedSharding(mesh, P('dp', None, ch, None)))
     from evo_tpu.ops.pallas_fir import fir_gate_pallas, fir_gate_supported
     if (state is None and _pallas_enabled(cfg)
             and L >= cfg.short_filter_length
@@ -89,9 +101,9 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
             x2, u = jax.shard_map(
                 lambda zz, ww, bb: fir_gate_pallas(zz, ww, bb),
                 mesh=mesh,
-                in_specs=(P('dp', None, 'tp', None), P(None, 'tp', None),
-                          P(None, 'tp')),
-                out_specs=(P('dp', 'tp', None), P('dp', 'tp', None)),
+                in_specs=(P('dp', None, ch, None), P(None, ch, None),
+                          P(None, ch)),
+                out_specs=(P('dp', ch, None), P('dp', ch, None)),
                 check_vma=False)(z, p['fir_w'], fir_b)
         fir_state = z[..., L - (cfg.short_filter_length - 1):]
     else:
@@ -151,6 +163,11 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
             u.astype(jnp.float32)
     y = x2 * y.astype(x.dtype)
     out = _out_proj(p, jnp.swapaxes(y, 1, 2))
+    if has_cp(mesh):
+        # back to the seq-sharded residual layout (reduce-scatter over cp
+        # fused with the out-proj's channel-contraction psum)
+        from evo_tpu.parallel.sharding import residual_constraint
+        out = residual_constraint(out, mesh)
     new_state = None
     if collect_state:
         if iir is None:

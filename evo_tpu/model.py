@@ -267,8 +267,11 @@ def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
     With `cfg.remat` each block is rematerialized on the backward pass
     (activation memory O(sqrt) for training / long-context scoring grads).
     """
+    from evo_tpu.parallel.sharding import residual_constraint
     up = _use_pallas(cfg)
-    x = _embed(params, cfg, ids)
+    # context parallelism: the residual stream lives seq-sharded on the cp
+    # mesh axis (no-op on (dp, tp)-only meshes); mixers reshard internally
+    x = residual_constraint(_embed(params, cfg, ids), mesh)
     for (kind, _idxs), seg in zip(cfg.layer_segments(), params['segments']):
         if kind == 'attn':
             block = functools.partial(_attn_block_full, cfg=cfg, up=up,
@@ -282,7 +285,7 @@ def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
             if cfg.remat:
                 body = jax.checkpoint(body)
             x, _ = jax.lax.scan(body, x, seg['stack'])
-    return _unembed(params, cfg, x)
+    return residual_constraint(_unembed(params, cfg, x), mesh)
 
 
 def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
@@ -301,10 +304,11 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
     by the cache offset, and the Hyena conv is seeded with the carried
     FIR/modal state (exact, via the chunked conv's state carry).
     """
+    from evo_tpu.parallel.sharding import residual_constraint
     up = _use_pallas(cfg)
     B, L = ids.shape
     offset = cache['offset'] if resume else 0
-    x = _embed(params, cfg, ids)
+    x = residual_constraint(_embed(params, cfg, ids), mesh)
     new_layers = []
     for si, ((kind, _idxs), seg) in enumerate(
             zip(cfg.layer_segments(), params['segments'])):
@@ -334,7 +338,7 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
                 return y, hst
             x, hst = jax.lax.scan(body, x, (seg['stack'], st))
             new_layers.append(hst)
-    logits = _unembed(params, cfg, x)
+    logits = residual_constraint(_unembed(params, cfg, x), mesh)
     return logits, {'offset': offset + jnp.asarray(L, jnp.int32),
                     'layers': new_layers}
 

@@ -101,17 +101,25 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
 
 
 def cache_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
-    """NamedSharding tree matching `model.init_cache(cfg, B, T)`."""
+    """NamedSharding tree matching `model.init_cache(cfg, B, T)`.
+
+    Under an active cp axis, heads/channels shard over the combined
+    (tp, cp) axes: decode state is pointwise in the sequence, so the cp
+    devices take extra channel shards instead of idling (and prefill's
+    collected state lands in exactly this layout — see layers/hyena.py).
+    """
+    from evo_tpu.parallel.mesh import channel_axes
+    ch = channel_axes(mesh)
     layers = []
     for kind, _idxs in cfg.layer_segments():
         if kind == 'attn':
-            kv = NamedSharding(mesh, P('dp', None, 'tp', None))
+            kv = NamedSharding(mesh, P('dp', None, ch, None))
             layers.append({'k': kv, 'v': kv})
         else:
             # leading axis = stacked layers in the run (scan axis, unsharded)
             layers.append(HyenaState(
-                fir=NamedSharding(mesh, P(None, 'dp', None, 'tp', None)),
-                iir=NamedSharding(mesh, P(None, 'dp', 'tp', None, None)),
+                fir=NamedSharding(mesh, P(None, 'dp', None, ch, None)),
+                iir=NamedSharding(mesh, P(None, 'dp', ch, None, None)),
             ))
     return {'offset': NamedSharding(mesh, P()), 'layers': layers}
 
@@ -119,6 +127,17 @@ def cache_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Token-id batches: (B, L) sharded on batch across dp."""
     return NamedSharding(mesh, P('dp', None))
+
+
+def residual_constraint(x, mesh):
+    """Pin a (B, L, D) activation to the context-parallel residual layout
+    (batch on dp, sequence on cp, model dim unsharded). No-op on meshes
+    without an active cp axis — round-1 (dp, tp) behavior unchanged."""
+    from evo_tpu.parallel.mesh import has_cp
+    if not has_cp(mesh):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P('dp', 'cp', None)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

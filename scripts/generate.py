@@ -39,12 +39,13 @@ def main():
                              'implies --random-init)')
     parser.add_argument('--dp', type=int, default=1)
     parser.add_argument('--tp', type=int, default=None)
+    parser.add_argument('--cp', type=int, default=1)
     args = parser.parse_args()
 
     mesh = None
-    if args.dp != 1 or args.tp not in (None, 1):
+    if args.dp != 1 or args.cp != 1 or args.tp not in (None, 1):
         from evo_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        mesh = make_mesh(dp=args.dp, tp=args.tp, cp=args.cp)
 
     overrides = None
     if args.tiny:

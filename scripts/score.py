@@ -45,6 +45,9 @@ def main():
                         choices=['mean', 'sum'])
     parser.add_argument('--dp', type=int, default=1,
                         help='data-parallel mesh size')
+    parser.add_argument('--cp', type=int, default=1,
+                        help='context-parallel axis size (long-context '
+                             'prefill; seq-sharded residual stream)')
     parser.add_argument('--tp', type=int, default=None,
                         help='tensor-parallel mesh size (default: all '
                              'devices / dp)')
@@ -53,9 +56,9 @@ def main():
     args = parser.parse_args()
 
     mesh = None
-    if args.dp != 1 or args.tp not in (None, 1):
+    if args.dp != 1 or args.cp != 1 or args.tp not in (None, 1):
         from evo_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        mesh = make_mesh(dp=args.dp, tp=args.tp, cp=args.cp)
 
     overrides = None
     if args.tiny:

@@ -92,6 +92,74 @@ def test_entry_compiles():
     assert np.all(np.isfinite(np.asarray(logits[:, :8])))
 
 
+@pytest.fixture(scope='module')
+def cp_setup():
+    """(dp=2, cp=2, tp=2) mesh: heads (4) divisible by tp*cp, channels (64)
+    too; small matmul-conv chunk so L = 8*chunk fits a CPU test
+    (VERDICT round-1 next-step #2 done-criterion)."""
+    cfg = tiny_config(hyena_matmul_chunk=8, state_prefill_chunk=8)
+    params = model_lib.init_params(jax.random.PRNGKey(2), cfg)
+    mesh = make_mesh(dp=2, cp=2, tp=2)
+    return cfg, params, mesh
+
+
+@pytest.mark.parametrize('cp_attn', ['ulysses', 'ring', 'zigzag'])
+def test_cp_forward_matches_single_device(cp_setup, cp_attn):
+    """Seq-sharded (dp, cp, tp) forward == dense single-device forward for
+    every context-parallel attention algorithm."""
+    cfg, params, mesh = cp_setup
+    cfg = cfg.replace(cp_attn=cp_attn)
+    sharded = shard_params(params, cfg, mesh)
+    L = 64      # = 8 * hyena_matmul_chunk; divisible by 2*cp (zigzag)
+    ids = np.random.default_rng(3).integers(0, 512, (4, L)).astype(np.int32)
+    ids_sh = jax.device_put(ids, data_sharding(mesh))
+    want = model_lib.forward(params, cfg, jnp.asarray(ids))
+    got = jax.jit(functools.partial(model_lib.forward, cfg=cfg, mesh=mesh))(
+        sharded, ids=ids_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cp_prefill_decode_seam(cp_setup):
+    """(dp, cp, tp) prefill fills a (tp, cp)-channel-sharded cache whose
+    decode step matches the dense oracle."""
+    cfg, params, mesh = cp_setup
+    sharded = shard_params(params, cfg, mesh)
+    B, L = 2, 64
+    ids = np.random.default_rng(4).integers(0, 512, (B, L)).astype(np.int32)
+    ids_sh = jax.device_put(ids, data_sharding(mesh))
+    cache = jax.jit(
+        functools.partial(model_lib.init_cache, cfg, B, L + 4),
+        out_shardings=cache_shardings(cfg, mesh))()
+    logits, cache = jax.jit(
+        functools.partial(model_lib.prefill, cfg=cfg, mesh=mesh))(
+        sharded, ids=ids_sh, cache=cache)
+    # prefill logits themselves must match the dense forward
+    want_prefill = model_lib.forward(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want_prefill),
+                               rtol=2e-4, atol=2e-4)
+    tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    step = jax.jit(functools.partial(model_lib.decode_step, cfg=cfg))
+    logits_t, cache = step(sharded, token=tok, cache=cache)
+    full = model_lib.forward(
+        params, cfg, jnp.concatenate(
+            [jnp.asarray(ids), np.asarray(tok)[:, None]], axis=1))
+    np.testing.assert_allclose(np.asarray(logits_t),
+                               np.asarray(full[:, -1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_make_mesh_cp_axis():
+    mesh = make_mesh(dp=2, cp=2, tp=2)
+    assert mesh.shape == {'dp': 2, 'cp': 2, 'tp': 2}
+    from evo_tpu.parallel.mesh import channel_axes, has_cp
+    assert has_cp(mesh)
+    assert channel_axes(mesh) == ('tp', 'cp')
+    legacy = make_mesh(dp=2, tp=4)
+    assert not has_cp(legacy)
+    assert channel_axes(legacy) == 'tp'
+
+
 def test_make_mesh_auto_dp():
     """dp=-1 derives dp from device_count / tp (pod launcher contract)."""
     mesh = make_mesh(dp=-1, tp=4)
