@@ -169,6 +169,57 @@ def score_stream(
     return scores
 
 
+def score_sequences_segmented(
+    seqs: Sequence[str],
+    model,
+    tokenizer: CharLevelTokenizer,
+    segment_len: int = 8192,
+    reduce_method: str = 'mean',
+    prepend_bos: bool = True,
+) -> List[float]:
+    """Long-context scoring with bounded activation memory: the sequence is
+    prefilled in `segment_len` chunks through the resumable cache (exact
+    Hyena modal/FIR state carry + KV-buffer attention,
+    `model.prefill(resume=True)`), so peak memory is O(segment) for
+    activations plus the KV buffers — the single-chip/small-TP path to 131k
+    scoring that one monolithic prefill cannot fit. Results match
+    `score_sequences` exactly on any length (tests/test_scoring.py).
+
+    Sequences are scored one at a time (B=1): ragged batches would waste
+    segment compute on padding.
+    """
+    if reduce_method == 'mean':
+        reduce_func = np.mean
+    elif reduce_method == 'sum':
+        reduce_func = np.sum
+    else:
+        raise ValueError(f'Invalid reduce_method {reduce_method}')
+    scores = []
+    for seq in seqs:
+        ids, _ = prepare_batch([seq], tokenizer, prepend_bos=prepend_bos)
+        L = ids.shape[1]
+        cache = model.initialize_inference_params(1, L + 1)
+        pieces = []
+        carry_logit = None          # last logit of the previous segment
+        for s in range(0, L, segment_len):
+            seg = jnp.asarray(ids[:, s:s + segment_len])
+            logits, cache = model(seg, inference_params_dict=cache)
+            # position t's logits predict token t+1: within the segment
+            # logits[:, :-1] pairs with seg[:, 1:]; the segment's first
+            # token is predicted by the PREVIOUS segment's last logit
+            if carry_logit is not None:
+                pieces.append(logits_to_logprobs(carry_logit, seg[:, :1],
+                                                 trim_bos=False))
+            pieces.append(logits_to_logprobs(logits, seg, trim_bos=True))
+            carry_logit = logits[:, -1:]
+        logprobs = np.concatenate(
+            [np.asarray(p, np.float32) for p in pieces], axis=1)[0]
+        # reference semantics: trim_bos drops the first input id; scoring
+        # then reduces over the first len(seq) target positions
+        scores.append(float(reduce_func(logprobs[:len(seq)])))
+    return scores
+
+
 def positional_entropies(
     seqs: Sequence[str],
     model,

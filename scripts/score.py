@@ -53,6 +53,10 @@ def main():
                              'devices / dp)')
     parser.add_argument('--no-bucket', action='store_true',
                         help='disable power-of-two length bucketing')
+    parser.add_argument('--segment-len', type=int, default=None,
+                        help='score in SEGMENT_LEN chunks through the '
+                             'resumable cache (bounded activation memory '
+                             'for 131k-class sequences); runs unbatched')
     args = parser.parse_args()
 
     mesh = None
@@ -72,13 +76,21 @@ def main():
     names, seqs = read_fasta(args.input_fasta)
     print(f'Scoring {len(seqs)} sequences...', flush=True)
 
-    batches = [seqs[i:i + args.batch_size]
-               for i in range(0, len(seqs), args.batch_size)]
-    scores = score_stream(
-        batches, evo.model, evo.tokenizer,
-        reduce_method=args.reduce_method,
-        pad_to_bucket=not args.no_bucket,
-        progress=lambda done: print(f'  {done}/{len(seqs)}', flush=True))
+    if args.segment_len:
+        from evo_tpu.scoring import score_sequences_segmented
+        scores = score_sequences_segmented(
+            seqs, evo.model, evo.tokenizer,
+            segment_len=args.segment_len,
+            reduce_method=args.reduce_method)
+    else:
+        batches = [seqs[i:i + args.batch_size]
+                   for i in range(0, len(seqs), args.batch_size)]
+        scores = score_stream(
+            batches, evo.model, evo.tokenizer,
+            reduce_method=args.reduce_method,
+            pad_to_bucket=not args.no_bucket,
+            progress=lambda done: print(f'  {done}/{len(seqs)}',
+                                        flush=True))
 
     with open(args.output_tsv, 'w') as f:
         f.write('seqs\tscores\n')

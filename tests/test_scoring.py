@@ -150,3 +150,27 @@ def test_no_bos_scoring_uses_next_token_pairing(setup):
     # reference slices [:seq_len] over the L-1 trimmed positions -> the
     # sum covers exactly the L-1 next-token terms
     np.testing.assert_allclose(got, float(np.sum(manual)), rtol=1e-5)
+
+
+@pytest.mark.parametrize('prepend_bos,segment_len', [(True, 16), (False, 16),
+                                                     (True, 13)])
+def test_segmented_scoring_matches_monolithic(setup, prepend_bos,
+                                              segment_len):
+    """Chunked-prefill scoring through the resumable cache == one-pass
+    scoring, incl. a short final segment and non-aligned segment sizes
+    (the 131k single-chip memory path, SURVEY.md §7 hard part #3)."""
+    from evo_tpu.scoring import score_sequences_segmented
+    model, tok = setup
+    seqs = ['ACGTACGATCGACGATCCGATCGGATCCAAAGGCGCGATACGATCAGCTT',
+            'CAGATTCCATT']
+    for reduce_method in ('mean', 'sum'):
+        # oracle is UNBATCHED monolithic scoring: segmented runs B=1, so
+        # the reference's batch-padding quirk (one pad logprob leaks into
+        # short sequences when prepend_bos=False) does not apply
+        want = [score_sequences([s], model, tok,
+                                reduce_method=reduce_method,
+                                prepend_bos=prepend_bos)[0] for s in seqs]
+        got = score_sequences_segmented(
+            seqs, model, tok, segment_len=segment_len,
+            reduce_method=reduce_method, prepend_bos=prepend_bos)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
