@@ -102,6 +102,11 @@ class ModelConfig:
     # the conv at 3.2 ms/layer vs 4.9 (128) and 10.0 (256) — smaller taps
     # halve the Toeplitz flops while K=L/64 rows still fill the MXU.
     hyena_matmul_chunk: int = 64
+    # Fully-fused Pallas mixer core (FIR + gates + Toeplitz conv + modal
+    # carry in one VMEM pass, ops/pallas_hyena.py). Applies when the
+    # matmul backend and Pallas are both active and the shape has a
+    # feasible blocking; otherwise the unfused kernels run.
+    hyena_fused_mixer: bool = True
     # Context-parallel attention algorithm when the mesh has an active cp
     # axis: 'ulysses' (GSPMD all_to_all seq<->head reshard; flash-eligible
     # dense core; needs heads % (tp*cp) == 0), 'ring' (ppermute KV

@@ -83,6 +83,56 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
         from jax.sharding import NamedSharding, PartitionSpec as P
         z = jax.lax.with_sharding_constraint(
             z, NamedSharding(mesh, P('dp', None, ch, None)))
+    # fully-fused mixer core: FIR + gates + Toeplitz conv + modal carry in
+    # one Pallas kernel (ops/pallas_hyena.py) — no full-size intermediate
+    # ever touches HBM. Falls through to the unfused kernels when the
+    # shape has no feasible blocking (e.g. ragged scoring lengths).
+    from evo_tpu.ops.pallas_hyena import (hyena_mixer_pallas,
+                                          hyena_mixer_supported)
+    C = z.shape[2]
+    shards = 1
+    if mesh is not None:
+        for a in (ch if isinstance(ch, tuple) else (ch,)):
+            shards *= mesh.shape[a]
+    if (cfg.hyena_fused_mixer and _pallas_enabled(cfg)
+            and cfg.hyena_conv_backend == 'matmul' and C % shards == 0
+            and hyena_mixer_supported((B, 3, C // shards, L),
+                                      cfg.hyena_matmul_chunk)):
+        st = (state.fir, state.iir) if state is not None else None
+        if mesh is None:
+            y_g, iir, fir_state = hyena_mixer_pallas(
+                z, p['fir_w'], p.get('fir_b'), p['poles'], p['residues'],
+                p['d_skip'], chunk=cfg.hyena_matmul_chunk, state=st)
+        else:
+            from jax.sharding import PartitionSpec as P
+            fir_b = p.get('fir_b')
+            if fir_b is None:
+                fir_b = jnp.zeros(p['fir_w'].shape[:-1], z.dtype)
+            if st is None:
+                S = p['poles'].shape[1]
+                st = (jnp.zeros((B, 3, C, cfg.short_filter_length - 1),
+                                z.dtype),
+                      jnp.zeros((B, C, S, 2), jnp.float32))
+            y_g, iir, fir_state = jax.shard_map(
+                lambda zz, fw, fb, pp, rr, dd, f0, s0: hyena_mixer_pallas(
+                    zz, fw, fb, pp, rr, dd, chunk=cfg.hyena_matmul_chunk,
+                    state=(f0, s0)),
+                mesh=mesh,
+                in_specs=(P('dp', None, ch, None), P(None, ch, None),
+                          P(None, ch), P(ch, None, None),
+                          P(ch, None, None), P(ch,),
+                          P('dp', None, ch, None), P('dp', ch, None, None)),
+                out_specs=(P('dp', ch, None), P('dp', ch, None, None),
+                           P('dp', None, ch, None)),
+                check_vma=False)(z, p['fir_w'], fir_b, p['poles'],
+                                 p['residues'], p['d_skip'], st[0], st[1])
+        out = _out_proj(p, jnp.swapaxes(y_g, 1, 2))
+        if has_cp(mesh):
+            from evo_tpu.parallel.sharding import residual_constraint
+            out = residual_constraint(out, mesh)
+        new_state = HyenaState(fir=fir_state, iir=iir) if collect_state \
+            else None
+        return out, new_state
     from evo_tpu.ops.pallas_fir import fir_gate_pallas, fir_gate_supported
     if (state is None and _pallas_enabled(cfg)
             and L >= cfg.short_filter_length
