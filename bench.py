@@ -260,6 +260,56 @@ def kernel_verify() -> dict:
                tol)
         record(f'fir_gate u C={C} L={L} {dt.__name__}', u,
                z_ref[:, 1] * z_ref[:, 2], tol)
+    # fused Hyena mixer core (FIR + gates + Toeplitz conv + modal carry):
+    # production shape (4096 channels, multi-tile L, chunk 64) plus a
+    # float32 segment-continuation case
+    from evo_tpu.ops.pallas_hyena import (hyena_mixer_pallas,
+                                          hyena_mixer_supported)
+
+    def _mixer_oracle(z, fw, fb, poles, residues, d_skip, chunk, st=None):
+        zp, fir_state = fftconv.fir_causal_conv(z, fw, fb,
+                                                st[0] if st else None)
+        x2, x1, v = zp[:, 0], zp[:, 1], zp[:, 2]
+        y, iir = fftconv.conv_matmul_chunked(
+            x1 * v, poles, residues, chunk,
+            state=st[1] if st else None, d_skip=d_skip)
+        return x2 * y.astype(z.dtype), iir, fir_state
+
+    for C, L, chunk, dt, tol in [(4096, 8192, 64, jnp.bfloat16, 3e-2),
+                                 (512, 4096, 64, jnp.float32, 2e-3)]:
+        ks = jax.random.split(jax.random.fold_in(key, C + L), 5)
+        z = jax.random.normal(ks[0], (1, 3, C, L), jnp.float32).astype(dt)
+        fw = jax.random.normal(ks[1], (3, C, 3), jnp.float32) / 2
+        fb = jax.random.normal(ks[2], (3, C), jnp.float32) / 8
+        mag = jax.random.uniform(ks[3], (C, 8), minval=0.5, maxval=0.98)
+        ang = jax.random.uniform(ks[4], (C, 8), minval=-3.1, maxval=3.1)
+        poles = jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)], -1)
+        residues = (jax.random.normal(ks[3], (C, 8, 2)) * 0.3)
+        d_skip = jax.random.normal(ks[4], (C,))
+        if not hyena_mixer_supported(z.shape, chunk):
+            checks.append({'name': f'hyena_mixer C={C}', 'err': -1.0,
+                           'ok': False})
+            continue
+        got_y, got_iir, got_fir = jax.jit(functools.partial(
+            hyena_mixer_pallas, chunk=chunk))(z, fw, fb, poles, residues,
+                                              d_skip)
+        want_y, want_iir, want_fir = _mixer_oracle(z, fw, fb, poles,
+                                                   residues, d_skip, chunk)
+        record(f'hyena_mixer y C={C} L={L} {dt.__name__}', got_y, want_y,
+               tol)
+        record(f'hyena_mixer iir C={C} L={L} {dt.__name__}', got_iir,
+               want_iir, tol)
+        record(f'hyena_mixer fir C={C} L={L} {dt.__name__}', got_fir,
+               want_fir, 1e-6)
+        # segment continuation seeded with the first run's states
+        got2 = jax.jit(functools.partial(
+            hyena_mixer_pallas, chunk=chunk))(z, fw, fb, poles, residues,
+                                              d_skip,
+                                              state=(got_fir, got_iir))
+        want2 = _mixer_oracle(z, fw, fb, poles, residues, d_skip, chunk,
+                              st=(want_fir, want_iir))
+        record(f'hyena_mixer cont C={C} {dt.__name__}', got2[0], want2[0],
+               tol)
     # fused RMSNorm
     for shape, dt, tol in [((2, 2048, 4096), jnp.bfloat16, 3e-2),
                            ((1, 512, 512), jnp.float32, 2e-3)]:

@@ -103,10 +103,13 @@ class ModelConfig:
     # halve the Toeplitz flops while K=L/64 rows still fill the MXU.
     hyena_matmul_chunk: int = 64
     # Fully-fused Pallas mixer core (FIR + gates + Toeplitz conv + modal
-    # carry in one VMEM pass, ops/pallas_hyena.py). Applies when the
-    # matmul backend and Pallas are both active and the shape has a
-    # feasible blocking; otherwise the unfused kernels run.
-    hyena_fused_mixer: bool = True
+    # carry in one VMEM pass, ops/pallas_hyena.py). OFF by default: the
+    # on-chip sweep measured it ~8% slower than the unfused pallas_fir +
+    # conv_matmul_chunked pair at 7B/8k (lane-idle chunked layout; see the
+    # pallas_hyena module docstring). Turn on for O(tile)-memory streaming
+    # of very long segments, where the unfused pipeline's (B, C, L)
+    # float32 intermediates would not fit.
+    hyena_fused_mixer: bool = False
     # Context-parallel attention algorithm when the mesh has an active cp
     # axis: 'ulysses' (GSPMD all_to_all seq<->head reshard; flash-eligible
     # dense core; needs heads % (tp*cp) == 0), 'ring' (ppermute KV

@@ -182,7 +182,7 @@ def test_model_integration_fused(monkeypatch):
         functools.partial(hyena_mixer_pallas, interpret=True))
 
     cfg_ref = tiny_config(attn_layer_idxs=())        # all-Hyena, no flash
-    cfg_fused = cfg_ref.replace(use_pallas='always')
+    cfg_fused = cfg_ref.replace(use_pallas='always', hyena_fused_mixer=True)
     params = model_lib.init_params(jax.random.PRNGKey(0), cfg_ref)
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 512)
 
