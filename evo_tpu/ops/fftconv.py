@@ -243,6 +243,87 @@ def _pole_pow_tables(logmag, theta, exps):
         mag * jnp.sin(e * theta[..., None])
 
 
+def _pole_pow_range(logmag, theta, n: int):
+    """{p^0 .. p^(n-1)} re/im as (D, S, n) float32 by log-doubling.
+
+    The direct form (`_pole_pow_tables` over arange(n)) pays one
+    exp+cos+sin PER TABLE ELEMENT — D*S*n transcendentals, which measured
+    ~5 ms/layer at 7B (the single largest non-matmul cost of the conv).
+    Here only the log2(n) block-step powers p^(2^j) are transcendental
+    (D*S*log2 n evals); each further entry is one complex multiply of
+    exact lower powers, accumulating ~log2(n) ulp of relative error at the
+    top exponent — orders of magnitude inside the 1e-3 parity budget
+    (oracle-tested against the direct form in tests/test_fftconv.py).
+    """
+    rng_r = jnp.ones_like(logmag)[..., None]                  # (D, S, 1)
+    rng_i = jnp.zeros_like(logmag)[..., None]
+    m = 1
+    while m < n:
+        k = min(m, n - m)
+        e = jnp.float32(m)
+        mag = jnp.exp(e * logmag[..., None])
+        ar = mag * jnp.cos(e * theta[..., None])              # (D, S, 1)
+        ai = mag * jnp.sin(e * theta[..., None])
+        new_r = ar * rng_r[..., :k] - ai * rng_i[..., :k]
+        new_i = ar * rng_i[..., :k] + ai * rng_r[..., :k]
+        rng_r = jnp.concatenate([rng_r, new_r], axis=-1)
+        rng_i = jnp.concatenate([rng_i, new_i], axis=-1)
+        m += k
+    return rng_r, rng_i
+
+
+def _toeplitz_from_taps(h_local, C: int, d_skip=None):
+    """(D, C, C) lower-triangular causal Toeplitz of the first C taps.
+
+    toep[d, t, c] = h[d, t-c] for t >= c (+ d_skip[d] on the diagonal).
+    Expressed as a matmul against a constant one-hot (C+1, C*C) selector:
+    the equivalent jnp.take gather measured ~3 ms/layer at 7B while the
+    MXU runs this contraction in ~0.1 ms (2 GFLOP; bf16x3 products with a
+    one-hot are exact in float32). d_skip rides along as an extra "tap"
+    row hitting the diagonal, saving a (D, C, C) elementwise pass.
+    """
+    t, c = np.meshgrid(np.arange(C), np.arange(C), indexing='ij')
+    mask = t >= c
+    oh = np.zeros((C + 1, C * C), np.float32)
+    oh[(t - c)[mask], (t * C + c)[mask]] = 1.0
+    oh[C, np.arange(C) * C + np.arange(C)] = 1.0              # diagonal row
+    if d_skip is None:
+        d_skip = jnp.zeros(h_local.shape[:-1], jnp.float32)
+    ht = jnp.concatenate(
+        [h_local, d_skip.astype(jnp.float32)[..., None]], axis=-1)
+    toep = jax.lax.dot_general(
+        ht, jnp.asarray(oh), (((ht.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return toep.reshape(*h_local.shape[:-1], C, C)
+
+
+def _conv_chunk_tables(poles, residues, C: int):
+    """Shared per-layer tables for the chunked conv, all from ONE
+    log-doubling power range {p^0..p^(C-1)}:
+
+      h_local (D, C)      first C filter taps   sum_s Re(R p^t)
+      pw_r/pw_i (D, S, C) injection weights     p^(C-1-j)   (range reversed)
+      tab_r/tab_i (D,S,C) state decay           R p^(t+1)   (p * range, R-folded)
+    """
+    p32 = poles.astype(jnp.float32)
+    logmag, theta = _pole_log(p32)
+    rr = residues[..., 0].astype(jnp.float32)
+    ri = residues[..., 1].astype(jnp.float32)
+    rng_r, rng_i = _pole_pow_range(logmag, theta, C)
+    h_local = jnp.sum(rr[..., None] * rng_r - ri[..., None] * rng_i,
+                      axis=1)                                 # (D, C)
+    pw_r, pw_i = rng_r[..., ::-1], rng_i[..., ::-1]
+    p1m = jnp.exp(logmag)
+    p1r = (p1m * jnp.cos(theta))[..., None]                   # (D, S, 1)
+    p1i = (p1m * jnp.sin(theta))[..., None]
+    dec_r = p1r * rng_r - p1i * rng_i                         # p^(t+1)
+    dec_i = p1r * rng_i + p1i * rng_r
+    tab_r = rr[..., None] * dec_r - ri[..., None] * dec_i
+    tab_i = rr[..., None] * dec_i + ri[..., None] * dec_r
+    return h_local, pw_r, pw_i, tab_r, tab_i
+
+
 def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
                         chunk: int = 128, state: jax.Array | None = None,
                         mesh=None, d_skip: jax.Array | None = None):
@@ -294,22 +375,15 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
 
     p32 = poles.astype(jnp.float32)
     logmag, theta = _pole_log(p32)
-    rr, ri = residues[..., 0].astype(jnp.float32), \
-        residues[..., 1].astype(jnp.float32)
 
     # (D, C, C) lower-triangular Toeplitz of the first C taps. Tie the
     # (input-independent) taps to this layer's activations so XLA cannot
     # hoist all 29 layers' (D, C, C) Toeplitz tensors (~270 MB each at 7B)
     # to program start, which would OOM next to the resident weights.
-    h_local = materialize_filter(poles, residues, C)          # (D, C)
+    h_local, pw_r, pw_i, tab_r, tab_i = \
+        _conv_chunk_tables(poles, residues, C)
     h_local, uc_in = jax.lax.optimization_barrier((h_local, uc_in))
-    t_idx = jnp.arange(C)
-    delta = t_idx[:, None] - t_idx[None, :]                   # (C, C)
-    toep = jnp.take(h_local, jnp.maximum(delta, 0), axis=1) * \
-        (delta >= 0).astype(jnp.float32)[None]                # (D, C, C)
-    if d_skip is not None:
-        toep = toep + d_skip.astype(jnp.float32)[:, None, None] * \
-            jnp.eye(C, dtype=jnp.float32)[None]
+    toep = _toeplitz_from_taps(h_local, C, d_skip)            # (D, C, C)
 
     uc = uc_in.reshape(B, D, K, C)
     # HIGH = bf16_3x on TPU (~1e-6 rel): ample for 1e-3 parity,
@@ -319,8 +393,6 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
                          preferred_element_type=jnp.float32)
 
     # per-chunk injected state: sum_j p^(C-1-j) u_i[j]
-    pw_r, pw_i = _pole_pow_tables(logmag, theta,
-                                  jnp.arange(C - 1, -1, -1))  # (D, S, C)
     inj_r = jnp.einsum('bdkc,dsc->bdks', uc, pw_r, precision=hi,
                        preferred_element_type=jnp.float32)
     inj_i = jnp.einsum('bdkc,dsc->bdks', uc, pw_i, precision=hi,
@@ -347,8 +419,9 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
     bi = jnp.concatenate([z1, si[:, :, :-1]], axis=2)
     if state is not None:
         s0r, s0i = state[..., 0], state[..., 1]               # (B, D, S)
-        ak_r, ak_i = _pole_pow_tables(logmag, theta,
-                                      C * jnp.arange(K + 1))  # (D, S, K+1)
+        # (p^C)^k via the doubling range on the scaled log/angle
+        ak_r, ak_i = _pole_pow_range(C * logmag, C * theta,
+                                     K + 1)                   # (D, S, K+1)
         ak_r = jnp.moveaxis(ak_r, -1, 1)[None]                # (1, D, K+1, S)
         ak_i = jnp.moveaxis(ak_i, -1, 1)[None]
         br = br + ak_r[:, :, :K] * s0r[:, :, None] - \
@@ -361,9 +434,6 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
         fr, fi = sr[:, :, -1], si[:, :, -1]
 
     # in-chunk decay of the entering state: y_state[t] = Re(s . R p^(t+1))
-    dec_r, dec_i = _pole_pow_tables(logmag, theta, jnp.arange(1, C + 1))
-    tab_r = rr[..., None] * dec_r - ri[..., None] * dec_i     # (D, S, C)
-    tab_i = rr[..., None] * dec_i + ri[..., None] * dec_r
     y_state = (jnp.einsum('bdks,dsc->bdkc', br, tab_r, precision=hi,
                           preferred_element_type=jnp.float32)
                - jnp.einsum('bdks,dsc->bdkc', bi, tab_i, precision=hi,

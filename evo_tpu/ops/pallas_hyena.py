@@ -230,26 +230,14 @@ def hyena_mixer_pallas(z, fir_w, fir_b, poles, residues, d_skip, *,
     Ct = min(chunk, L)
     T = Lt // Ct
 
-    # ---- host-side tables (all float32) ----
+    # ---- host-side tables (all float32; log-doubling power ranges) ----
     p32 = poles.astype(jnp.float32)
-    r32 = residues.astype(jnp.float32)
     logmag, theta = fftconv._pole_log(p32)
-    rr, ri = r32[..., 0], r32[..., 1]
-    h_local = fftconv.materialize_filter(p32, r32, Ct)        # (C, Ct)
-    t_idx = jnp.arange(Ct)
-    delta = t_idx[:, None] - t_idx[None, :]
-    toep = jnp.take(h_local, jnp.maximum(delta, 0), axis=1) * \
-        (delta >= 0).astype(jnp.float32)[None]                # (C, Ct, Ct)
-    toep = toep + d_skip.astype(jnp.float32)[:, None, None] * \
-        jnp.eye(Ct, dtype=jnp.float32)[None]
-    pw_r, pw_i = fftconv._pole_pow_tables(
-        logmag, theta, jnp.arange(Ct - 1, -1, -1))            # (C, S, Ct)
-    dec_r, dec_i = fftconv._pole_pow_tables(
-        logmag, theta, jnp.arange(1, Ct + 1))
-    tab_r = rr[..., None] * dec_r - ri[..., None] * dec_i     # (C, S, Ct)
-    tab_i = rr[..., None] * dec_i + ri[..., None] * dec_r
-    pcq_r, pcq_i = fftconv._pole_pow_tables(
-        logmag, theta, Ct * jnp.arange(T + 1))                # (C, S, T+1)
+    h_local, pw_r, pw_i, tab_r, tab_i = \
+        fftconv._conv_chunk_tables(poles, residues, Ct)
+    toep = fftconv._toeplitz_from_taps(h_local, Ct, d_skip)   # (C, Ct, Ct)
+    pcq_r, pcq_i = fftconv._pole_pow_range(
+        Ct * logmag, Ct * theta, T + 1)                       # (C, S, T+1)
     pcq_r = jnp.moveaxis(pcq_r, -1, 1)                        # (C, T+1, S)
     pcq_i = jnp.moveaxis(pcq_i, -1, 1)
     # FIR tap/bias slabs, pre-broadcast to (.., bc, 1, Ct) so the kernel's
