@@ -110,7 +110,7 @@ def bench_decode(cfg, batch: int, prompt_len: int, steps: int = 64):
 
 
 def bench_generate(cfg, batch: int, prompt_len: int = 128,
-                   n_tokens: int = 256):
+                   n_tokens: int = 256, quant: str = 'none'):
     """Fused-scan generation (the production decode path): one XLA program
     for prefill + decode + sampling; returns decode tokens/s."""
     from evo_tpu import model as model_lib
@@ -118,6 +118,9 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
 
     params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
         jax.random.PRNGKey(0))
+    if quant == 'int8':
+        from evo_tpu.quant import quantize_params
+        params = quantize_params(params, free_source=True)
     prompt = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (batch, prompt_len)),
         jnp.int32)
@@ -370,10 +373,13 @@ def _run_all(args) -> None:
     else:
         extras['prefill_131k_config_L16384'] = 'skipped (budget)'
 
-    for batch in (1, 8):
-        key = f'decode_fused_b{batch}'
+    for batch, quant in ((1, 'none'), (8, 'none'), (1, 'int8')):
+        key = f'decode_fused_b{batch}' + ('_int8' if quant == 'int8' else '')
         if left() > 0:
-            tps = bench_generate(cfg8, batch)
+            tps = bench_generate(cfg8, batch, quant=quant)
+            # vs_baseline is always relative to the bf16 HBM roofline, so
+            # the int8 row reads directly as the speedup it buys over the
+            # bf16 ceiling (evo_tpu/quant.py)
             extras[key] = {
                 'value': round(tps, 2), 'unit': 'tokens/s aggregate',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, batch),
@@ -439,6 +445,9 @@ def main():
                          'and exit (also included in preset all)')
     ap.add_argument('--batch', type=int, default=1)
     ap.add_argument('--length', type=int, default=None)
+    ap.add_argument('--quant', default='none', choices=('none', 'int8'),
+                    help='weight-only quantization for the generate preset '
+                         '(evo_tpu/quant.py serving mode)')
     ap.add_argument('--profile', default=None, metavar='DIR',
                     help='capture a jax.profiler trace of the timed '
                          'region into DIR (view with xprof/tensorboard)')
@@ -509,8 +518,9 @@ def main():
             tps = bench_decode(cfg, batch, prompt_len=128, steps=64)
             metric = f'decode_tokens_per_sec_per_chip_{name}'
         elif args.preset == 'generate':
-            tps = bench_generate(cfg, batch)
-            metric = f'generate_tokens_per_sec_per_chip_{name}'
+            tps = bench_generate(cfg, batch, quant=args.quant)
+            metric = f'generate_tokens_per_sec_per_chip_{name}' + \
+                ('_int8' if args.quant == 'int8' else '')
         else:
             tps = bench_prefill(cfg, batch, length)
             metric = f'prefill_tokens_per_sec_per_chip_{name}'

@@ -110,6 +110,12 @@ class ModelConfig:
     # of very long segments, where the unfused pipeline's (B, C, L)
     # float32 intermediates would not fit.
     hyena_fused_mixer: bool = False
+    # Weight-only quantization for serving: 'none' (default; the 1e-3
+    # reference-parity mode) or 'int8' (large projections stored int8 with
+    # per-output-channel f32 scales — ~2x the B=1 decode roofline, see
+    # evo_tpu/quant.py). Applied at load time (models.py); strictly
+    # opt-in, never changes the default numerics.
+    weight_quant: str = 'none'
     # Context-parallel attention algorithm when the mesh has an active cp
     # axis: 'ulysses' (GSPMD all_to_all seq<->head reshard; flash-eligible
     # dense core; needs heads % (tp*cp) == 0), 'ring' (ppermute KV

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from evo_tpu.config import ModelConfig
 from evo_tpu.layers.rotary import apply_rotary, rotary_cos_sin
+from evo_tpu.quant import wcast
 
 
 def _qkv(p, cfg: ModelConfig, x):
@@ -32,7 +33,7 @@ def _qkv(p, cfg: ModelConfig, x):
     Megatron column split with no stream-boundary crossings. (Checkpoint
     layout (3D, D) is re-shaped at conversion, checkpoint.py.)
     """
-    qkv = jnp.einsum('bld,dthe->blthe', x, p['wqkv'].astype(x.dtype))
+    qkv = jnp.einsum('bld,dthe->blthe', x, wcast(p['wqkv'], x.dtype))
     if 'bqkv' in p:
         qkv = qkv + p['bqkv'].astype(x.dtype)
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -83,7 +84,7 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
 
 def _out(p, x_dtype, y, mesh=None):
     # wo: (H, Dh, D) — head axis explicit for TP row sharding
-    o = jnp.einsum('blhe,hed->bld', y, p['wo'].astype(x_dtype))
+    o = jnp.einsum('blhe,hed->bld', y, wcast(p['wo'], x_dtype))
     if 'bo' in p:
         o = o + p['bo'].astype(x_dtype)
     from evo_tpu.parallel.mesh import has_cp

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from evo_tpu.config import ModelConfig
 from evo_tpu.ops import fftconv
+from evo_tpu.quant import wcast
 
 
 def _pallas_enabled(cfg: ModelConfig) -> bool:
@@ -52,7 +53,7 @@ class HyenaState(NamedTuple):
 
 def _out_proj(p, y):
     """y: (B, L, C) -> (B, L, D)."""
-    o = y @ p['w_out'].astype(y.dtype)
+    o = y @ wcast(p['w_out'], y.dtype)
     if 'b_out' in p:
         o = o + p['b_out'].astype(y.dtype)
     return o
@@ -68,7 +69,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     """
     B, L, D = x.shape
     # (B, 3, C, L): streams axis explicit, length last for the convs
-    z = jnp.einsum('bld,dtc->btcl', x, p['w_in'].astype(x.dtype))
+    z = jnp.einsum('bld,dtc->btcl', x, wcast(p['w_in'], x.dtype))
     if 'b_in' in p:
         z = z + p['b_in'].astype(x.dtype)[None, :, :, None]
     from evo_tpu.parallel.mesh import channel_axes, has_cp
@@ -229,7 +230,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
 
 def hyena_step(p, cfg: ModelConfig, x_t, state: HyenaState):
     """Single-token decode step. x_t: (B, 1, D)."""
-    z_t = jnp.einsum('bd,dtc->btc', x_t[:, 0], p['w_in'].astype(x_t.dtype))
+    z_t = jnp.einsum('bd,dtc->btc', x_t[:, 0], wcast(p['w_in'], x_t.dtype))
     if 'b_in' in p:
         z_t = z_t + p['b_in'].astype(x_t.dtype)[None]
     z_t, fir_state = fftconv.fir_step(z_t, p['fir_w'], p.get('fir_b'),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from evo_tpu.quant import wcast
 
 _ACTS = {
     'gelu': lambda x: jax.nn.gelu(x, approximate=False),
@@ -23,6 +24,6 @@ _ACTS = {
 def gated_mlp(p, x, activation: str = 'gelu'):
     act = _ACTS[activation]
     dt = x.dtype
-    z1 = x @ p['w1'].astype(dt)
-    z2 = x @ p['w2'].astype(dt)
-    return (act(z1) * z2) @ p['w3'].astype(dt)
+    z1 = x @ wcast(p['w1'], dt)
+    z2 = x @ wcast(p['w2'], dt)
+    return (act(z1) * z2) @ wcast(p['w3'], dt)

@@ -154,6 +154,12 @@ def load_checkpoint(
             # the adapted config (true inner_mlp_size etc.) comes back
             params, config = ckpt.load_reference_checkpoint_adaptive(
                 checkpoint_path, config, mesh=mesh)
+    if config.weight_quant == 'int8':
+        from evo_tpu.quant import quantize_params
+        params = quantize_params(params, free_source=True)
+    elif config.weight_quant != 'none':
+        raise ValueError(f'unknown weight_quant {config.weight_quant!r} '
+                         f"(expected 'none' or 'int8')")
     return EvoModel(config, params, mesh=mesh), config
 
 

@@ -66,9 +66,17 @@ _TOP_SPECS = {
 }
 
 
-def _spec_for_path(path) -> P:
+def _spec_for_path(path, shape=None) -> P:
     keys = [getattr(k, 'key', getattr(k, 'idx', None)) for k in path]
     name = keys[-1]
+    if name in ('q', 's'):
+        # weight-only int8 leaf (evo_tpu/quant.py): 'q' keeps the weight's
+        # spec; 's' (per-output-channel scales, size-1 contraction axes)
+        # drops the spec entries on its broadcast dims
+        spec = _spec_for_path(path[:-1], shape)
+        if name == 's' and shape is not None:
+            spec = P(*[a if d > 1 else None for a, d in zip(spec, shape)])
+        return spec
     if 'attn' in keys:
         spec = _ATTN_SPECS[name]
     elif 'hyena' in keys:
@@ -85,12 +93,23 @@ def _spec_for_path(path) -> P:
 
 
 def param_specs(cfg: ModelConfig) -> Any:
-    """PartitionSpec tree matching `model.init_params` (abstract; no mesh)."""
+    """PartitionSpec tree matching `model.init_params` (abstract; no mesh).
+
+    When `cfg.weight_quant` is active, the tree matches the post-
+    `quantize_params` layout ({'q','s'} leaves on the large projections).
+    """
     from evo_tpu import model as model_lib
-    shapes = jax.eval_shape(lambda key: model_lib.init_params(key, cfg),
-                            jax.random.PRNGKey(0))
+
+    def build(key):
+        params = model_lib.init_params(key, cfg)
+        if cfg.weight_quant == 'int8':
+            from evo_tpu.quant import quantize_params
+            params = quantize_params(params)
+        return params
+
+    shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: _spec_for_path(path), shapes)
+        lambda path, leaf: _spec_for_path(path, leaf.shape), shapes)
 
 
 def param_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
