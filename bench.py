@@ -59,12 +59,19 @@ def _model_flops_per_token(cfg) -> float:
             + cfg.num_layers * per_mlp + embed)
 
 
-def bench_prefill(cfg, batch: int, length: int, iters: int = 3):
+def bench_prefill(cfg, batch: int, length: int, iters: int = 3,
+                  quant: str = 'none'):
     from evo_tpu import model as model_lib
 
     params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if quant == 'int8':
+        # int8 x int8 serving mode: quantized weights AND dynamic
+        # per-token activation quantization (evo_tpu/quant.py:qdot)
+        from evo_tpu.quant import quantize_params
+        cfg = cfg.replace(weight_quant='int8', act_quant='int8')
+        params = quantize_params(params, free_source=True)
     ids = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (batch, length)),
         jnp.int32)
@@ -364,6 +371,16 @@ def _run_all(args) -> None:
         extras['kernel_verify'] = 'skipped (budget)'
 
     if left() > 0:
+        # int8 x int8 fast-prefill serving mode (vs the same bf16 roofline
+        # target, so the row reads as the speedup the mode buys)
+        tps = bench_prefill(cfg8, 1, 8192, quant='int8')
+        extras['prefill_8k_int8'] = {
+            'value': round(tps, 2), 'unit': 'tokens/s',
+            'vs_baseline': round(tps / target8, 4)}
+    else:
+        extras['prefill_8k_int8'] = 'skipped (budget)'
+
+    if left() > 0:
         cfg131 = config_for_model('evo-1-131k-base')
         tps = bench_prefill(cfg131, 1, 16384)
         extras['prefill_131k_config_L16384'] = {
@@ -522,8 +539,9 @@ def main():
             metric = f'generate_tokens_per_sec_per_chip_{name}' + \
                 ('_int8' if args.quant == 'int8' else '')
         else:
-            tps = bench_prefill(cfg, batch, length)
-            metric = f'prefill_tokens_per_sec_per_chip_{name}'
+            tps = bench_prefill(cfg, batch, length, quant=args.quant)
+            metric = f'prefill_tokens_per_sec_per_chip_{name}' + \
+                ('_int8' if args.quant == 'int8' else '')
 
     if args.preset in ('decode', 'generate'):
         # B=1-per-sequence decode is HBM-bandwidth bound: the target is

@@ -116,6 +116,12 @@ class ModelConfig:
     # evo_tpu/quant.py). Applied at load time (models.py); strictly
     # opt-in, never changes the default numerics.
     weight_quant: str = 'none'
+    # Dynamic int8 activation quantization for the quantized projections
+    # ('none' | 'int8'; requires weight_quant int8). int8 x int8 dots run
+    # the v5e MXU at 2x the bf16 rate — the opt-in fast-prefill serving
+    # mode (evo_tpu/quant.py:qdot). Per-token symmetric scales; logits
+    # shift ~1e-2, so this mode is outside the 1e-3 parity contract.
+    act_quant: str = 'none'
     # Context-parallel attention algorithm when the mesh has an active cp
     # axis: 'ulysses' (GSPMD all_to_all seq<->head reshard; flash-eligible
     # dense core; needs heads % (tp*cp) == 0), 'ring' (ppermute KV

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from evo_tpu.config import ModelConfig
 from evo_tpu.layers.rotary import apply_rotary, rotary_cos_sin
-from evo_tpu.quant import wcast
+from evo_tpu.quant import qdot, wcast
 
 
 def _qkv(p, cfg: ModelConfig, x):
@@ -33,7 +33,11 @@ def _qkv(p, cfg: ModelConfig, x):
     Megatron column split with no stream-boundary crossings. (Checkpoint
     layout (3D, D) is re-shaped at conversion, checkpoint.py.)
     """
-    qkv = jnp.einsum('bld,dthe->blthe', x, wcast(p['wqkv'], x.dtype))
+    if cfg.act_quant == 'int8':
+        qkv = qdot(x, p['wqkv'])
+    else:
+        qkv = jnp.einsum('bld,dthe->blthe', x,
+                         wcast(p['wqkv'], x.dtype))
     if 'bqkv' in p:
         qkv = qkv + p['bqkv'].astype(x.dtype)
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -82,9 +86,12 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
     return y.astype(q.dtype)
 
 
-def _out(p, x_dtype, y, mesh=None):
+def _out(p, x_dtype, y, mesh=None, act_quant: bool = False):
     # wo: (H, Dh, D) — head axis explicit for TP row sharding
-    o = jnp.einsum('blhe,hed->bld', y, wcast(p['wo'], x_dtype))
+    if act_quant:
+        o = qdot(y, p['wo'], nc=2)
+    else:
+        o = jnp.einsum('blhe,hed->bld', y, wcast(p['wo'], x_dtype))
     if 'bo' in p:
         o = o + p['bo'].astype(x_dtype)
     from evo_tpu.parallel.mesh import has_cp
@@ -154,7 +161,8 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
         return sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
 
     if kv_buffers is None:
-        return _out(p, x.dtype, attend(q, k, v), mesh), None
+        return _out(p, x.dtype, attend(q, k, v), mesh,
+                    act_quant=cfg.act_quant == 'int8'), None
 
     k_buf, v_buf = kv_buffers
     k_buf = jax.lax.dynamic_update_slice(
@@ -162,7 +170,8 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     v_buf = jax.lax.dynamic_update_slice(
         v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
     if not attend_buffer:
-        return _out(p, x.dtype, attend(q, k, v), mesh), (k_buf, v_buf)
+        return _out(p, x.dtype, attend(q, k, v), mesh,
+                    act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
 
     B, L, H, Dh = q.shape
     T = k_buf.shape[1]
@@ -207,7 +216,8 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     (m_f, l_f, acc), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     y = jnp.swapaxes(acc / jnp.maximum(l_f, 1e-30)[..., None],
                      1, 2).astype(q.dtype)
-    return _out(p, x.dtype, y, mesh), (k_buf, v_buf)
+    return _out(p, x.dtype, y, mesh,
+                act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
 
 
 def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
@@ -234,4 +244,5 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
     y = jnp.einsum('bhm,bmhd->bhd', a, v_buf.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     y = y.astype(x_t.dtype)[:, None]  # (B, 1, H, Dh)
-    return _out(p, x_t.dtype, y), (k_buf, v_buf)
+    return _out(p, x_t.dtype, y,
+                act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from evo_tpu.config import ModelConfig
 from evo_tpu.ops import fftconv
-from evo_tpu.quant import wcast
+from evo_tpu.quant import qdot, wcast
 
 
 def _pallas_enabled(cfg: ModelConfig) -> bool:
@@ -51,9 +51,12 @@ class HyenaState(NamedTuple):
     iir: jax.Array   # (B, C, S, 2) float32
 
 
-def _out_proj(p, y):
+def _out_proj(p, y, act_quant: bool = False):
     """y: (B, L, C) -> (B, L, D)."""
-    o = y @ wcast(p['w_out'], y.dtype)
+    if act_quant:
+        o = qdot(y, p['w_out'])
+    else:
+        o = y @ wcast(p['w_out'], y.dtype)
     if 'b_out' in p:
         o = o + p['b_out'].astype(y.dtype)
     return o
@@ -68,8 +71,12 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     collection computes the post-sequence fir/iir state for decode handoff.
     """
     B, L, D = x.shape
+    aq = cfg.act_quant == 'int8'
     # (B, 3, C, L): streams axis explicit, length last for the convs
-    z = jnp.einsum('bld,dtc->btcl', x, wcast(p['w_in'], x.dtype))
+    if aq:
+        z = jnp.transpose(qdot(x, p['w_in']), (0, 2, 3, 1))
+    else:
+        z = jnp.einsum('bld,dtc->btcl', x, wcast(p['w_in'], x.dtype))
     if 'b_in' in p:
         z = z + p['b_in'].astype(x.dtype)[None, :, :, None]
     from evo_tpu.parallel.mesh import channel_axes, has_cp
@@ -127,7 +134,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
                            P('dp', None, ch, None)),
                 check_vma=False)(z, p['fir_w'], fir_b, p['poles'],
                                  p['residues'], p['d_skip'], st[0], st[1])
-        out = _out_proj(p, jnp.swapaxes(y_g, 1, 2))
+        out = _out_proj(p, jnp.swapaxes(y_g, 1, 2), act_quant=aq)
         if has_cp(mesh):
             from evo_tpu.parallel.sharding import residual_constraint
             out = residual_constraint(out, mesh)
@@ -213,7 +220,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
         y = y + p['d_skip'].astype(jnp.float32)[None, :, None] * \
             u.astype(jnp.float32)
     y = x2 * y.astype(x.dtype)
-    out = _out_proj(p, jnp.swapaxes(y, 1, 2))
+    out = _out_proj(p, jnp.swapaxes(y, 1, 2), act_quant=aq)
     if has_cp(mesh):
         # back to the seq-sharded residual layout (reduce-scatter over cp
         # fused with the out-proj's channel-contraction psum)
@@ -230,7 +237,12 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
 
 def hyena_step(p, cfg: ModelConfig, x_t, state: HyenaState):
     """Single-token decode step. x_t: (B, 1, D)."""
-    z_t = jnp.einsum('bd,dtc->btc', x_t[:, 0], wcast(p['w_in'], x_t.dtype))
+    aq = cfg.act_quant == 'int8'
+    if aq:
+        z_t = qdot(x_t[:, 0], p['w_in'])
+    else:
+        z_t = jnp.einsum('bd,dtc->btc', x_t[:, 0],
+                         wcast(p['w_in'], x_t.dtype))
     if 'b_in' in p:
         z_t = z_t + p['b_in'].astype(x_t.dtype)[None]
     z_t, fir_state = fftconv.fir_step(z_t, p['fir_w'], p.get('fir_b'),
@@ -240,5 +252,5 @@ def hyena_step(p, cfg: ModelConfig, x_t, state: HyenaState):
     y, iir = fftconv.modal_step(u, p['poles'], p['residues'], p['d_skip'],
                                 state.iir)
     y = x2 * y.astype(x_t.dtype)
-    out = _out_proj(p, y[:, None])                    # (B, 1, D)
+    out = _out_proj(p, y[:, None], act_quant=aq)     # (B, 1, D)
     return out, HyenaState(fir=fir_state, iir=iir)

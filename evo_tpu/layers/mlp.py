@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from evo_tpu.quant import wcast
+from evo_tpu.quant import qdot, wcast
 
 _ACTS = {
     'gelu': lambda x: jax.nn.gelu(x, approximate=False),
@@ -21,9 +21,14 @@ _ACTS = {
 }
 
 
-def gated_mlp(p, x, activation: str = 'gelu'):
+def gated_mlp(p, x, activation: str = 'gelu', act_quant: bool = False):
     act = _ACTS[activation]
     dt = x.dtype
+    if act_quant:
+        # int8 x int8 fast path (cfg.act_quant; evo_tpu/quant.py:qdot)
+        z1 = qdot(x, p['w1'])
+        z2 = qdot(x, p['w2'])
+        return qdot(act(z1) * z2, p['w3'])
     z1 = x @ wcast(p['w1'], dt)
     z2 = x @ wcast(p['w2'], dt)
     return (act(z1) * z2) @ wcast(p['w3'], dt)

@@ -240,7 +240,8 @@ def _attn_block_full(blk: Params, x: jax.Array, *, cfg: ModelConfig,
     mix, _ = mha_full(blk['attn'], cfg, h, use_pallas=up, mesh=mesh)
     x = x + mix
     return x + gated_mlp(blk['mlp'], rmsnorm(x, blk['post_norm'], cfg.eps),
-                         cfg.mlp_activation)
+                         cfg.mlp_activation,
+                         act_quant=cfg.act_quant == 'int8')
 
 
 def _hyena_block_full(lp: Params, x: jax.Array, *, cfg: ModelConfig,
@@ -249,7 +250,8 @@ def _hyena_block_full(lp: Params, x: jax.Array, *, cfg: ModelConfig,
     mix, _ = hyena_full(lp['hyena'], cfg, h, mesh=mesh)
     x = x + mix
     return x + gated_mlp(lp['mlp'], rmsnorm(x, lp['post_norm'], cfg.eps),
-                         cfg.mlp_activation)
+                         cfg.mlp_activation,
+                         act_quant=cfg.act_quant == 'int8')
 
 
 def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
@@ -323,7 +325,8 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
             x = x + mix
             x = x + gated_mlp(seg['mlp'],
                               rmsnorm(x, seg['post_norm'], cfg.eps),
-                              cfg.mlp_activation)
+                              cfg.mlp_activation,
+                         act_quant=cfg.act_quant == 'int8')
         else:
             def body(y, inp, _resume=resume):
                 lp, s = inp
@@ -334,7 +337,8 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
                 y = y + mix
                 y = y + gated_mlp(lp['mlp'],
                                   rmsnorm(y, lp['post_norm'], cfg.eps),
-                                  cfg.mlp_activation)
+                                  cfg.mlp_activation,
+                         act_quant=cfg.act_quant == 'int8')
                 return y, hst
             x, hst = jax.lax.scan(body, x, (seg['stack'], st))
             new_layers.append(hst)
@@ -367,7 +371,8 @@ def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
             x = x + mix
             x = x + gated_mlp(seg['mlp'],
                               rmsnorm(x, seg['post_norm'], cfg.eps),
-                              cfg.mlp_activation)
+                              cfg.mlp_activation,
+                         act_quant=cfg.act_quant == 'int8')
         else:
             # Unrolled (static slices of the stack), NOT lax.scan: a
             # weight-scan nested inside the generation time-scan makes XLA
@@ -385,7 +390,8 @@ def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
                 x = x + mix
                 x = x + gated_mlp(lp['mlp'],
                                   rmsnorm(x, lp['post_norm'], cfg.eps),
-                                  cfg.mlp_activation)
+                                  cfg.mlp_activation,
+                         act_quant=cfg.act_quant == 'int8')
                 new_states.append(hst)
             new_layers.append(jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *new_states))

@@ -160,6 +160,12 @@ def load_checkpoint(
     elif config.weight_quant != 'none':
         raise ValueError(f'unknown weight_quant {config.weight_quant!r} '
                          f"(expected 'none' or 'int8')")
+    if config.act_quant == 'int8' and config.weight_quant != 'int8':
+        raise ValueError("act_quant: int8 requires weight_quant: int8 "
+                         "(the int8 x int8 fast path needs quantized "
+                         "weights; evo_tpu/quant.py)")
+    if config.act_quant not in ('none', 'int8'):
+        raise ValueError(f'unknown act_quant {config.act_quant!r}')
     return EvoModel(config, params, mesh=mesh), config
 
 

@@ -1,13 +1,19 @@
-"""Weight-only int8 quantization — opt-in TPU serving mode.
+"""int8 quantization — opt-in TPU serving modes.
 
-7B decode is HBM-bandwidth-bound: every generated token streams the full
-weight set (12.9 GB bf16 -> ~61 tok/s B=1 ceiling at 819 GB/s on v5e;
-BASELINE.md decode rows). Storing the large projection matrices as int8
-with per-output-channel float32 scales roughly halves the bytes per step,
-lifting the B=1 decode roofline ~2x; XLA fuses the dequantize
-(q.astype(bf16) * s) into the consuming dot's operand load, so no bf16
-copy of the weights is ever materialized in HBM. MXU-bound prefill is
-~neutral (measured ~5% dequant overhead at L=8192).
+Two independent levers, both OFF by default:
+
+* `weight_quant: int8` — weight-only. 7B decode is HBM-bandwidth-bound
+  (12.9 GB bf16 weights/step -> ~61 tok/s B=1 ceiling at 819 GB/s on
+  v5e); int8 storage with per-output-channel float32 scales halves the
+  bytes. Measured: 98.5 tok/s B=1 (1.79x bf16), 668 aggregate at B=8
+  (1.61x). XLA fuses the dequantize (q.astype(bf16) * s) into the
+  consuming dot's operand load, so no bf16 copy is materialized in HBM;
+  MXU-bound prefill is ~neutral.
+* `act_quant: int8` (requires weight int8) — int8 x int8 dots via `qdot`:
+  dynamic per-token activation scales against the stored weight scales,
+  int32 MXU accumulation. The v5e MXU runs int8 at 2x the bf16 rate;
+  measured 7B prefill: 13,849 tok/s (1.37x the bf16 path, 1.81x the
+  50%-roofline target).
 
 The reference has no quantized path (GPU bf16 engine,
 /root/reference/evo/models.py:148), so this is strictly opt-in and OFF by
@@ -62,6 +68,40 @@ def wcast(w: Any, dt) -> jax.Array:
 
 def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and 'q' in w
+
+
+def qdot(x: jax.Array, w: Any, nc: int = 1) -> jax.Array:
+    """int8 x int8 projection: dynamic per-token activation quantization
+    against a weight-quantized {'q','s'} leaf, contracting x's last `nc`
+    dims with w['q']'s first `nc` dims. int32 MXU accumulation.
+
+    The v5e MXU runs int8 at 2x the bf16 rate; measured on-chip at the 7B
+    MLP shape: 3.12 ms vs 5.04 bf16 per (8192x4096)@(4096x10928) matmul
+    (1.62x including the quantize/rescale elementwise work, which XLA
+    fuses around the dot). Activation scales are symmetric per-token
+    max-abs over the contracted dims; combined rescale is one fused
+    multiply: y = int32_dot * x_scale * w_scale.
+
+    Falls back to the bf16 `wcast` path when `w` is an unquantized array
+    (so call sites can be unconditional under the act_quant flag).
+    """
+    if not is_quantized(w):
+        red = tuple(range(x.ndim - nc, x.ndim))
+        return jax.lax.dot_general(
+            x, w.astype(x.dtype),
+            ((red, tuple(range(nc))), ((), ())))
+    red = tuple(range(x.ndim - nc, x.ndim))
+    x32 = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(x32), axis=red, keepdims=True) / 127.0
+    xs = jnp.maximum(xs, jnp.float32(1e-12))
+    xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        xq, w['q'], ((red, tuple(range(nc))), ((), ())),
+        preferred_element_type=jnp.int32)
+    wshape = w['q'].shape[nc:]
+    xs_out = xs.reshape(x.shape[:x.ndim - nc] + (1,) * len(wshape))
+    y = y32.astype(jnp.float32) * xs_out * w['s'].reshape(wshape)
+    return y.astype(x.dtype)
 
 
 def quantize_params(params: Any, free_source: bool = False) -> Any:

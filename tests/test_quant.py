@@ -115,6 +115,74 @@ def test_sharded_quantized_forward():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_qdot_matches_dequantized_dot():
+    from evo_tpu.quant import qdot
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (4, 9, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(8), (64, 32), jnp.float32)
+    wq = quantize_weight(w, (0,))
+    got = np.asarray(qdot(x, wq))
+    want = np.asarray(x @ np.asarray(wcast(wq, jnp.float32)))
+    # activation quantization adds ~|x|_max/254 per element over 64 terms
+    assert np.abs(got - want).max() < 0.35
+    # unquantized fallback is exact
+    np.testing.assert_allclose(np.asarray(qdot(x, w)), np.asarray(x @ w),
+                               rtol=1e-6, atol=1e-6)
+    # nc=2: contract two trailing/leading dims (attention wo layout)
+    y = jax.random.normal(key, (2, 5, 4, 16), jnp.float32)
+    wo = jax.random.normal(jax.random.PRNGKey(9), (4, 16, 8), jnp.float32)
+    woq = quantize_weight(wo, (0, 1))
+    got2 = np.asarray(qdot(y, woq, nc=2))
+    want2 = np.einsum('blhe,hed->bld', np.asarray(y),
+                      np.asarray(wcast(woq, jnp.float32)))
+    assert got2.shape == (2, 5, 8)
+    assert np.abs(got2 - want2).max() < 0.35
+
+
+def test_act_quant_forward_close(setup):
+    cfg, params, qparams = setup
+    cfg_aq = cfg.replace(weight_quant='int8', act_quant='int8')
+    ids = jax.random.randint(jax.random.PRNGKey(12), (2, 40), 0, 512)
+    lg = np.asarray(model_lib.forward(params, cfg, ids))
+    la = np.asarray(model_lib.forward(qparams, cfg_aq, ids))
+    assert np.isfinite(la).all()
+    diff = np.abs(la - lg)
+    assert diff.mean() < 0.08, diff.mean()
+    agree = (lg.argmax(-1) == la.argmax(-1)).mean()
+    assert agree > 0.75, agree
+
+
+def test_act_quant_prefill_decode_seam(setup):
+    """Prefill and decode quantize the same activations identically, so
+    the seam stays tight even in the int8 x int8 mode."""
+    cfg, params, qparams = setup
+    cfg_aq = cfg.replace(weight_quant='int8', act_quant='int8')
+    ids = jax.random.randint(jax.random.PRNGKey(13), (1, 12), 0, 512)
+    cache = model_lib.init_cache(cfg_aq, 1, 20)
+    lg_fwd = model_lib.forward(qparams, cfg_aq, ids)
+    lg_pre, cache = model_lib.prefill(qparams, cfg_aq, ids, cache)
+    np.testing.assert_allclose(np.asarray(lg_fwd), np.asarray(lg_pre),
+                               rtol=1e-4, atol=1e-4)
+    step = jax.random.randint(jax.random.PRNGKey(14), (1, 1), 0, 512)
+    full = jnp.concatenate([ids, step], axis=1)
+    lg_all = model_lib.forward(qparams, cfg_aq, full)
+    lg_s, _ = model_lib.decode_step(qparams, cfg_aq, step, cache)
+    np.testing.assert_allclose(
+        np.asarray(lg_s).reshape(1, -1), np.asarray(lg_all[:, -1]),
+        rtol=5e-4, atol=5e-4)
+
+
+def test_act_quant_requires_weight_quant():
+    from evo_tpu.models import load_checkpoint
+    with pytest.raises(ValueError, match='act_quant'):
+        load_checkpoint('evo-1-8k-base', random_init=True,
+                        config_overrides=dict(
+                            hidden_size=64, num_filters=64, num_layers=2,
+                            attn_layer_idxs=(1,), hyena_layer_idxs=(),
+                            num_attention_heads=4, state_size=4,
+                            use_pallas='never', act_quant='int8'))
+
+
 def test_evo_api_weight_quant():
     from evo_tpu import Evo, score_sequences
     ov = dict(hidden_size=64, num_filters=64, num_layers=2,
