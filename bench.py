@@ -453,7 +453,7 @@ def main():
     ap.add_argument('--preset', default='all',
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling'])
-    ap.add_argument('--budget-s', type=float, default=540.0,
+    ap.add_argument('--budget-s', type=float, default=720.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
                          'warm reruns fit easily)')

@@ -113,6 +113,14 @@ def test_sharded_quantized_forward():
     lq_ref = model_lib.forward(quantize_params(params), cfg, ids)
     np.testing.assert_allclose(np.asarray(lg), np.asarray(lq_ref),
                                rtol=2e-4, atol=2e-4)
+    # int8 x int8 path under the same tp sharding (GSPMD partitions the
+    # int8 dots; per-token activation scales are replicated on tp)
+    cfg_aq = cfg.replace(act_quant='int8')
+    lga = jax.jit(lambda p, i: model_lib.forward(p, cfg_aq, i, mesh=mesh))(
+        qparams, ids)
+    lga_ref = model_lib.forward(quantize_params(params), cfg_aq, ids)
+    np.testing.assert_allclose(np.asarray(lga), np.asarray(lga_ref),
+                               rtol=5e-4, atol=5e-4)
 
 
 def test_qdot_matches_dequantized_dot():
