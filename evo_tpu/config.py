@@ -110,6 +110,15 @@ class ModelConfig:
     # of very long segments, where the unfused pipeline's (B, C, L)
     # float32 intermediates would not fit.
     hyena_fused_mixer: bool = False
+    # VMEM Pallas kernel for the modal cross-chunk prefix inside
+    # conv_matmul_chunked (ops/pallas_prefix.py). OFF by default: the
+    # on-chip interleaved A/B at 7B/8k measured it step-NEUTRAL (809 vs
+    # 809 ms) — XLA already overlaps the jnp Hillis-Steele passes with
+    # MXU work at this shape. Kept (oracle-tested) for VPU-pressured
+    # shapes (small batch x many chunks); single-chip only (no GSPMD
+    # partitioning rule — under a mesh the jnp path shards with zero
+    # communication anyway).
+    hyena_pallas_prefix: bool = False
     # Weight-only quantization for serving: 'none' (default; the 1e-3
     # reference-parity mode) or 'int8' (large projections stored int8 with
     # per-output-channel f32 scales — ~2x the B=1 decode roofline, see

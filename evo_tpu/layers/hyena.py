@@ -194,7 +194,13 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
             y, iir = fftconv.conv_matmul_chunked(
                 u, p['poles'], p['residues'], chunk,
                 state=state.iir if state is not None else None,
-                d_skip=p['d_skip'])
+                d_skip=p['d_skip'],
+                # opt-in VMEM cross-chunk prefix (see config.py: measured
+                # step-neutral at 7B/8k, default off); single-chip only —
+                # pallas has no GSPMD partitioning rule, and under a mesh
+                # the jnp Hillis-Steele shards with zero communication
+                pallas_prefix=(cfg.hyena_pallas_prefix
+                               and _pallas_enabled(cfg) and mesh is None))
         skip_done = True
     elif state is not None:
         # segment continuation: the chunked conv consumes the carried modal

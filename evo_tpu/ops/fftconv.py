@@ -326,7 +326,8 @@ def _conv_chunk_tables(poles, residues, C: int):
 
 def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
                         chunk: int = 128, state: jax.Array | None = None,
-                        mesh=None, d_skip: jax.Array | None = None):
+                        mesh=None, d_skip: jax.Array | None = None,
+                        pallas_prefix: bool = False):
     """Fully-parallel chunked causal conv recast as MXU matmuls.
 
     Same contract as `fft_causal_conv_chunked` (returns (y (B, D, L) f32,
@@ -399,24 +400,35 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
                        preferred_element_type=jnp.float32)
 
     # inclusive weighted prefix over chunks: s_k = sum_{j<=k} a^(k-j) inj_j,
-    # a = p^C — Hillis-Steele doubling, log2(K) elementwise steps
-    sr, si = inj_r, inj_i                                     # (B, D, K, S)
-    step = 1
-    while step < K:
-        ar, ai = _pole_pow_tables(logmag, theta, [C * step])  # (D, S, 1)
-        ar = ar[None, :, :, 0][:, :, None, :]                 # (1, D, 1, S)
-        ai = ai[None, :, :, 0][:, :, None, :]
-        z = jnp.zeros((B, D, step, S), jnp.float32)
-        sr_sh = jnp.concatenate([z, sr[:, :, :-step]], axis=2)
-        si_sh = jnp.concatenate([z, si[:, :, :-step]], axis=2)
-        sr, si = sr + ar * sr_sh - ai * si_sh, \
-            si + ar * si_sh + ai * sr_sh
-        step *= 2
+    # a = p^C. Fast path: one VMEM Pallas pass (ops/pallas_prefix.py);
+    # fallback: Hillis-Steele doubling, log2(K) full elementwise passes.
+    use_kernel = False
+    if pallas_prefix and state is None:
+        from evo_tpu.ops.pallas_prefix import (modal_prefix_pallas,
+                                               modal_prefix_supported)
+        use_kernel = modal_prefix_supported((B, D, K, S))
+    if use_kernel:
+        br, bi, fr, fi = modal_prefix_pallas(inj_r, inj_i, logmag, theta, C)
+        sr = si = None
+    else:
+        sr, si = inj_r, inj_i                                 # (B, D, K, S)
+        step = 1
+        while step < K:
+            ar, ai = _pole_pow_tables(logmag, theta,
+                                      [C * step])             # (D, S, 1)
+            ar = ar[None, :, :, 0][:, :, None, :]             # (1, D, 1, S)
+            ai = ai[None, :, :, 0][:, :, None, :]
+            z = jnp.zeros((B, D, step, S), jnp.float32)
+            sr_sh = jnp.concatenate([z, sr[:, :, :-step]], axis=2)
+            si_sh = jnp.concatenate([z, si[:, :, :-step]], axis=2)
+            sr, si = sr + ar * sr_sh - ai * si_sh, \
+                si + ar * si_sh + ai * sr_sh
+            step *= 2
 
-    # state entering chunk k: a^k s0 + incl_{k-1}
-    z1 = jnp.zeros((B, D, 1, S), jnp.float32)
-    br = jnp.concatenate([z1, sr[:, :, :-1]], axis=2)         # (B, D, K, S)
-    bi = jnp.concatenate([z1, si[:, :, :-1]], axis=2)
+        # state entering chunk k: a^k s0 + incl_{k-1}
+        z1 = jnp.zeros((B, D, 1, S), jnp.float32)
+        br = jnp.concatenate([z1, sr[:, :, :-1]], axis=2)     # (B, D, K, S)
+        bi = jnp.concatenate([z1, si[:, :, :-1]], axis=2)
     if state is not None:
         s0r, s0i = state[..., 0], state[..., 1]               # (B, D, S)
         # (p^C)^k via the doubling range on the scaled log/angle
@@ -430,7 +442,7 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
             ak_i[:, :, :K] * s0r[:, :, None]
         fr = ak_r[:, :, K] * s0r - ak_i[:, :, K] * s0i + sr[:, :, -1]
         fi = ak_r[:, :, K] * s0i + ak_i[:, :, K] * s0r + si[:, :, -1]
-    else:
+    elif not use_kernel:
         fr, fi = sr[:, :, -1], si[:, :, -1]
 
     # in-chunk decay of the entering state: y_state[t] = Re(s . R p^(t+1))
