@@ -125,9 +125,9 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
 
     params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
         jax.random.PRNGKey(0))
-    if quant == 'int8':
+    if quant in ('int8', 'int4'):
         from evo_tpu.quant import quantize_params
-        params = quantize_params(params, free_source=True)
+        params = quantize_params(params, free_source=True, mode=quant)
     prompt = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (batch, prompt_len)),
         jnp.int32)
@@ -390,8 +390,10 @@ def _run_all(args) -> None:
     else:
         extras['prefill_131k_config_L16384'] = 'skipped (budget)'
 
-    for batch, quant in ((1, 'none'), (8, 'none'), (1, 'int8')):
-        key = f'decode_fused_b{batch}' + ('_int8' if quant == 'int8' else '')
+    for batch, quant in ((1, 'none'), (8, 'none'), (1, 'int8'),
+                         (1, 'int4')):
+        key = f'decode_fused_b{batch}' + \
+            ('' if quant == 'none' else f'_{quant}')
         if left() > 0:
             tps = bench_generate(cfg8, batch, quant=quant)
             # vs_baseline is always relative to the bf16 HBM roofline, so
@@ -462,7 +464,8 @@ def main():
                          'and exit (also included in preset all)')
     ap.add_argument('--batch', type=int, default=1)
     ap.add_argument('--length', type=int, default=None)
-    ap.add_argument('--quant', default='none', choices=('none', 'int8'),
+    ap.add_argument('--quant', default='none',
+                    choices=('none', 'int8', 'int4'),
                     help='weight-only quantization for the generate preset '
                          '(evo_tpu/quant.py serving mode)')
     ap.add_argument('--profile', default=None, metavar='DIR',
@@ -537,7 +540,7 @@ def main():
         elif args.preset == 'generate':
             tps = bench_generate(cfg, batch, quant=args.quant)
             metric = f'generate_tokens_per_sec_per_chip_{name}' + \
-                ('_int8' if args.quant == 'int8' else '')
+                ('' if args.quant == 'none' else f'_{args.quant}')
         else:
             tps = bench_prefill(cfg, batch, length, quant=args.quant)
             metric = f'prefill_tokens_per_sec_per_chip_{name}' + \

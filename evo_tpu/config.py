@@ -120,10 +120,13 @@ class ModelConfig:
     # communication anyway).
     hyena_pallas_prefix: bool = False
     # Weight-only quantization for serving: 'none' (default; the 1e-3
-    # reference-parity mode) or 'int8' (large projections stored int8 with
+    # reference-parity mode), 'int8' (large projections stored int8 with
     # per-output-channel f32 scales — ~2x the B=1 decode roofline, see
-    # evo_tpu/quant.py). Applied at load time (models.py); strictly
-    # opt-in, never changes the default numerics.
+    # evo_tpu/quant.py), or 'int4' (nibble-packed with group-128
+    # subchannel scales, VMEM-unpacked by ops/pallas_int4.py — a
+    # memory-fit mode: 3.3 GB weights at 7B, decode measured SLOWER
+    # than int8; single-chip only). Applied at load time (models.py);
+    # strictly opt-in, never changes the default numerics.
     weight_quant: str = 'none'
     # Dynamic int8 activation quantization for the quantized projections
     # ('none' | 'int8'; requires weight_quant int8). int8 x int8 dots run

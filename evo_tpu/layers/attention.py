@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from evo_tpu.config import ModelConfig
 from evo_tpu.layers.rotary import apply_rotary, rotary_cos_sin
-from evo_tpu.quant import qdot, wcast
+from evo_tpu.quant import is_int4, qdot, wcast
 
 
 def _qkv(p, cfg: ModelConfig, x):
@@ -33,7 +33,7 @@ def _qkv(p, cfg: ModelConfig, x):
     Megatron column split with no stream-boundary crossings. (Checkpoint
     layout (3D, D) is re-shaped at conversion, checkpoint.py.)
     """
-    if cfg.act_quant == 'int8':
+    if cfg.act_quant == 'int8' or is_int4(p['wqkv']):
         qkv = qdot(x, p['wqkv'])
     else:
         qkv = jnp.einsum('bld,dthe->blthe', x,
@@ -88,7 +88,7 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
 
 def _out(p, x_dtype, y, mesh=None, act_quant: bool = False):
     # wo: (H, Dh, D) — head axis explicit for TP row sharding
-    if act_quant:
+    if act_quant or is_int4(p['wo']):
         o = qdot(y, p['wo'], nc=2)
     else:
         o = jnp.einsum('blhe,hed->bld', y, wcast(p['wo'], x_dtype))

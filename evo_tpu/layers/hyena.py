@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from evo_tpu.config import ModelConfig
 from evo_tpu.ops import fftconv
-from evo_tpu.quant import qdot, wcast
+from evo_tpu.quant import is_int4, qdot, wcast
 
 
 def _pallas_enabled(cfg: ModelConfig) -> bool:
@@ -53,7 +53,7 @@ class HyenaState(NamedTuple):
 
 def _out_proj(p, y, act_quant: bool = False):
     """y: (B, L, C) -> (B, L, D)."""
-    if act_quant:
+    if act_quant or is_int4(p['w_out']):
         o = qdot(y, p['w_out'])
     else:
         o = y @ wcast(p['w_out'], y.dtype)
@@ -73,7 +73,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
     B, L, D = x.shape
     aq = cfg.act_quant == 'int8'
     # (B, 3, C, L): streams axis explicit, length last for the convs
-    if aq:
+    if aq or is_int4(p['w_in']):
         z = jnp.transpose(qdot(x, p['w_in']), (0, 2, 3, 1))
     else:
         z = jnp.einsum('bld,dtc->btcl', x, wcast(p['w_in'], x.dtype))
@@ -244,7 +244,7 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
 def hyena_step(p, cfg: ModelConfig, x_t, state: HyenaState):
     """Single-token decode step. x_t: (B, 1, D)."""
     aq = cfg.act_quant == 'int8'
-    if aq:
+    if aq or is_int4(p['w_in']):
         z_t = qdot(x_t[:, 0], p['w_in'])
     else:
         z_t = jnp.einsum('bd,dtc->btc', x_t[:, 0],

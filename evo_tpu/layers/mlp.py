@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from evo_tpu.quant import qdot, wcast
+from evo_tpu.quant import is_int4, qdot, wcast
 
 _ACTS = {
     'gelu': lambda x: jax.nn.gelu(x, approximate=False),
@@ -24,8 +24,9 @@ _ACTS = {
 def gated_mlp(p, x, activation: str = 'gelu', act_quant: bool = False):
     act = _ACTS[activation]
     dt = x.dtype
-    if act_quant:
-        # int8 x int8 fast path (cfg.act_quant; evo_tpu/quant.py:qdot)
+    if act_quant or is_int4(p['w1']):
+        # int8 x int8 fast path, or weight-only int4 — qdot dispatches
+        # per leaf (cfg.act_quant / weight_quant; evo_tpu/quant.py)
         z1 = qdot(x, p['w1'])
         z2 = qdot(x, p['w2'])
         return qdot(act(z1) * z2, p['w3'])

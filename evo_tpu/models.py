@@ -154,12 +154,20 @@ def load_checkpoint(
             # the adapted config (true inner_mlp_size etc.) comes back
             params, config = ckpt.load_reference_checkpoint_adaptive(
                 checkpoint_path, config, mesh=mesh)
-    if config.weight_quant == 'int8':
+    if config.weight_quant in ('int8', 'int4'):
+        if config.weight_quant == 'int4' and mesh is not None:
+            # packed int4 flattens each weight's output axes, which breaks
+            # the TP PartitionSpecs (and pallas_int4 has no GSPMD rule) —
+            # int4 is the single-chip B-small decode serving mode
+            raise ValueError('weight_quant: int4 is single-chip only '
+                             '(evo_tpu/ops/pallas_int4.py); drop the mesh '
+                             'or use int8')
         from evo_tpu.quant import quantize_params
-        params = quantize_params(params, free_source=True)
+        params = quantize_params(params, free_source=True,
+                                 mode=config.weight_quant)
     elif config.weight_quant != 'none':
         raise ValueError(f'unknown weight_quant {config.weight_quant!r} '
-                         f"(expected 'none' or 'int8')")
+                         f"(expected 'none', 'int8' or 'int4')")
     if config.act_quant == 'int8' and config.weight_quant != 'int8':
         raise ValueError("act_quant: int8 requires weight_quant: int8 "
                          "(the int8 x int8 fast path needs quantized "
