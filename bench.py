@@ -450,11 +450,39 @@ def bench_scoring(cfg, n_seqs: int = 2, seq_len: int = 8191):
     return n_seqs * (seq_len + 1) / dt
 
 
+def bench_full131k(length: int = 131072, segment: int = 8192,
+                   iters: int = 1):
+    """Full long-context scoring on ONE chip: int8 weights (6.6 GB) +
+    bf16 KV (6.4 GB at 131k) + O(segment) activations via
+    `score_sequences_segmented`'s donate-cache resumable prefill. The
+    reference needs an 80 GB GPU for this workload (bf16 7B weights
+    alone are 13.4 GB; `/root/reference/README.md:8` runs 131k on one
+    accelerator only because Hyena is near-linear — the attention KV
+    still needs the memory). Returns tokens/s over the whole context.
+    """
+    from evo_tpu.models import Evo
+    from evo_tpu.scoring import score_sequences_segmented
+
+    ev = Evo('evo-1-131k-base', random_init=True,
+             config_overrides=dict(weight_quant='int8', act_quant='int8'))
+    rng = np.random.default_rng(0)
+    # L-1 chars + BOS = exactly `length` tokens -> one compiled segment
+    # shape (a ragged tail segment would add a 100 s+ compile on axon)
+    seq = ''.join(rng.choice(list('ACGT'), length - 1))
+    ts = []
+    for _ in range(iters + 1):            # first pass = compile + warmup
+        t0 = time.perf_counter()
+        score_sequences_segmented([seq], ev.model, ev.tokenizer,
+                                  segment_len=segment)
+        ts.append(time.perf_counter() - t0)
+    return length / min(ts[1:] or ts)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--preset', default='all',
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
-                             'generate', 'tiny', 'scaling'])
+                             'generate', 'tiny', 'scaling', 'full131k'])
     ap.add_argument('--budget-s', type=float, default=720.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
@@ -499,6 +527,28 @@ def main():
         return
     if args.preset == 'all':
         args.preset = 'tiny'
+
+    if args.preset == 'full131k':
+        if not on_tpu:
+            print(json.dumps({'metric': 'full131k', 'value': None,
+                              'unit': 'tokens/s',
+                              'vs_baseline': None,
+                              'note': 'requires a TPU (7B single-chip '
+                                      'long-context workload)'}))
+            return
+        from evo_tpu.models import config_for_model
+        length = args.length or 131072
+        tps = bench_full131k(length=length)
+        # vs_baseline: the 50%-roofline prefill target used everywhere
+        # else (BASELINE.md); the point of this row is the FIT (one
+        # 16 GB chip), the rate carries the buffer-attention overhead
+        cfg131 = config_for_model('evo-1-131k-base')
+        tgt = 0.5 * _chip_peak_flops() / _model_flops_per_token(cfg131)
+        print(json.dumps({
+            'metric': f'score_full_context_L{length}_single_chip_int8',
+            'value': round(tps, 1), 'unit': 'tokens/s/chip',
+            'vs_baseline': round(tps / tgt, 3)}))
+        return
 
     if args.preset == 'tiny' or not on_tpu:
         cfg = tiny_config(max_sequence_len=2048)

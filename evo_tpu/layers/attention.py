@@ -178,8 +178,15 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
     # online softmax over KV-buffer chunks: materializing the full
     # (B, H, L, T) score tensor is ~137 GB at T=131k — the exact workload
-    # this resumed-prefill path exists for
-    C = min(2048, T)
+    # this resumed-prefill path exists for. The chunk size is bounded so
+    # the per-chunk f32 score tensor stays ~128 MB: at 131k serving the
+    # weights + KV buffers leave only ~2 GB of HBM headroom, and the
+    # original C=2048 chunk (2.1 GB of scores at L=8192 segments) OOMed
+    # a 16 GB chip. Dots run in the compute dtype with f32 accumulation
+    # (bf16 on TPU — the same numerics as the flash kernel on the
+    # fresh-prefill path; f32 under the CPU test configs).
+    C = int(min(2048, max(256, (32 << 20) // max(1, B * H * L))))
+    C = min(C, T)
     pad_t = (-T) % C
     if pad_t:
         k_buf2 = jnp.pad(k_buf, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
@@ -187,14 +194,13 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     else:
         k_buf2, v_buf2 = k_buf, v_buf
     n_chunks = (T + pad_t) // C
-    q32 = q.astype(jnp.float32)
     row = jnp.arange(L)[:, None]
 
-    def body(carry, ci):
+    def body(ci, carry):
         m_prev, l_prev, acc = carry
         ks = jax.lax.dynamic_slice_in_dim(k_buf2, ci * C, C, axis=1)
         vs = jax.lax.dynamic_slice_in_dim(v_buf2, ci * C, C, axis=1)
-        s = jnp.einsum('blhd,bthd->bhlt', q32, ks.astype(jnp.float32),
+        s = jnp.einsum('blhd,bthd->bhlt', q, ks.astype(q.dtype),
                        preferred_element_type=jnp.float32) * scale
         col = ci * C + jnp.arange(C)[None, :]
         s = jnp.where((col <= offset + row)[None, None], s, -jnp.inf)
@@ -206,14 +212,19 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
         alpha = jnp.where(finite, jnp.exp(m_prev - m_safe), 1.0)
         l_new = l_prev * alpha + jnp.sum(pexp, axis=-1)
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            'bhlt,bthd->bhld', pexp, vs.astype(jnp.float32),
+            'bhlt,bthd->bhld', pexp.astype(q.dtype), vs.astype(q.dtype),
             preferred_element_type=jnp.float32)
-        return (jnp.where(finite, m_new, m_prev), l_new, acc_new), None
+        return (jnp.where(finite, m_new, m_prev), l_new, acc_new)
 
     init = (jnp.full((B, H, L), -jnp.inf, jnp.float32),
             jnp.zeros((B, H, L), jnp.float32),
             jnp.zeros((B, H, L, Dh), jnp.float32))
-    (m_f, l_f, acc), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    # chunks past offset + L are fully masked — skip them (offset is
+    # traced, so a dynamic-trip-count fori_loop, not a static scan; at
+    # 131k this halves the early segments' attention work)
+    n_live = jnp.minimum(
+        (offset + L + C - 1) // C, jnp.int32(n_chunks))
+    m_f, l_f, acc = jax.lax.fori_loop(0, n_live, body, init)
     y = jnp.swapaxes(acc / jnp.maximum(l_f, 1e-30)[..., None],
                      1, 2).astype(q.dtype)
     return _out(p, x.dtype, y, mesh,

@@ -77,10 +77,24 @@ class EvoModel:
         # program (generation._generate_program) owns its cache and keeps
         # donation there.
         self._step = jax.jit(functools.partial(_step_cfg, cfg=config))
+        # Opt-in donating prefill for callers that own the cache and
+        # replace it every call (score_sequences_segmented): without
+        # donation each resumed segment COPIES the KV buffers — 2x 6.4 GB
+        # live at 131k, which cannot fit next to the weights on one chip.
+        self._prefill_donate = jax.jit(
+            functools.partial(_prefill_cfg, cfg=config, mesh=mesh),
+            static_argnames=('resume',), donate_argnums=(2,))
 
     # -- engine call contract ------------------------------------------------
 
-    def __call__(self, input_ids, inference_params_dict=None):
+    def __call__(self, input_ids, inference_params_dict=None,
+                 donate_cache: bool = False):
+        """donate_cache=True lets XLA reuse the passed cache's buffers
+        (the caller must drop its reference, keeping only the returned
+        cache) — required headroom for 131k segmented prefill, where an
+        un-donated KV copy alone exceeds the chip. Off by default: the
+        reference contract allows replaying one inference_params_dict
+        across calls (evo/generation.py:105-114)."""
         ids = jnp.asarray(np.asarray(input_ids), dtype=jnp.int32)
         if ids.ndim == 1:
             ids = ids[None]
@@ -91,8 +105,8 @@ class EvoModel:
                                        inference_params_dict)
             return logits[:, None], cache
         resume = int(np.asarray(inference_params_dict['offset'])) > 0
-        return self._prefill(self.params, ids, inference_params_dict,
-                             resume=resume)
+        fn = self._prefill_donate if donate_cache else self._prefill
+        return fn(self.params, ids, inference_params_dict, resume=resume)
 
     def initialize_inference_params(self, batch_size: int, max_len: int):
         return model_lib.init_cache(self.config, batch_size, max_len)

@@ -203,7 +203,11 @@ def score_sequences_segmented(
         carry_logit = None          # last logit of the previous segment
         for s in range(0, L, segment_len):
             seg = jnp.asarray(ids[:, s:s + segment_len])
-            logits, cache = model(seg, inference_params_dict=cache)
+            # donate_cache: this loop owns `cache` and replaces it every
+            # segment; donation keeps ONE set of KV buffers live (6.4 GB
+            # at 131k — an un-donated copy cannot fit next to the weights)
+            logits, cache = model(seg, inference_params_dict=cache,
+                                  donate_cache=True)
             # position t's logits predict token t+1: within the segment
             # logits[:, :-1] pairs with seg[:, 1:]; the segment's first
             # token is predicted by the PREVIOUS segment's last logit
