@@ -40,6 +40,13 @@ def main():
     parser.add_argument('--dp', type=int, default=1)
     parser.add_argument('--tp', type=int, default=None)
     parser.add_argument('--cp', type=int, default=1)
+    parser.add_argument('--quant', default='none',
+                        choices=['none', 'int8', 'int8x8', 'int4'],
+                        help='opt-in serving precision (docs/serving.md): '
+                             'int8 = weight-only (~1.8x B=1 decode); '
+                             'int8x8 = + dynamic int8 activations; int4 = '
+                             'memory-fit mode. Default bf16 keeps the '
+                             'reference-parity numerics.')
     args = parser.parse_args()
 
     mesh = None
@@ -52,6 +59,12 @@ def main():
         args.random_init = True
         from evo_tpu.config import cli_tiny_overrides
         overrides = cli_tiny_overrides()
+    if args.quant != 'none':
+        overrides = dict(overrides or {})
+        overrides['weight_quant'] = ('int8' if args.quant == 'int8x8'
+                                     else args.quant)
+        if args.quant == 'int8x8':
+            overrides['act_quant'] = 'int8'
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
               random_init=args.random_init, config_overrides=overrides,
               mesh=mesh)

@@ -57,6 +57,13 @@ def main():
                         help='score in SEGMENT_LEN chunks through the '
                              'resumable cache (bounded activation memory '
                              'for 131k-class sequences); runs unbatched')
+    parser.add_argument('--quant', default='none',
+                        choices=['none', 'int8', 'int8x8', 'int4'],
+                        help='opt-in serving precision (docs/serving.md): '
+                             'int8 = weight-only; int8x8 = int8 weights + '
+                             'dynamic int8 activations (2x MXU prefill '
+                             'rate); int4 = memory-fit mode. Default '
+                             'bf16 keeps the reference-parity numerics.')
     args = parser.parse_args()
 
     mesh = None
@@ -69,6 +76,12 @@ def main():
         args.random_init = True
         from evo_tpu.config import cli_tiny_overrides
         overrides = cli_tiny_overrides()
+    if args.quant != 'none':
+        overrides = dict(overrides or {})
+        overrides['weight_quant'] = ('int8' if args.quant == 'int8x8'
+                                     else args.quant)
+        if args.quant == 'int8x8':
+            overrides['act_quant'] = 'int8'
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
               random_init=args.random_init, config_overrides=overrides,
               mesh=mesh)
