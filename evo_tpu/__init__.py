@@ -11,4 +11,6 @@ Public API surface mirrors the reference `evo/__init__.py:1-7`.
 from evo_tpu.models import Evo  # noqa: F401
 from evo_tpu.generation import generate  # noqa: F401
 from evo_tpu.scoring import score_sequences, positional_entropies  # noqa: F401
+from evo_tpu.scoring import (score_sequences_segmented,  # noqa: F401
+                             positional_entropies_segmented)
 from evo_tpu.version import version as __version__  # noqa: F401

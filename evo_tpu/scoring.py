@@ -224,6 +224,46 @@ def score_sequences_segmented(
     return scores
 
 
+def positional_entropies_segmented(
+    seqs: Sequence[str],
+    model,
+    tokenizer: CharLevelTokenizer,
+    segment_len: int = 8192,
+    prepend_bos: bool = True,
+) -> List[np.ndarray]:
+    """`positional_entropies` for 131k-class sequences: the sequence is
+    prefilled in `segment_len` chunks through the resumable donate-cache
+    prefill (same machinery as `score_sequences_segmented`), and the
+    per-position entropy is reduced on device per segment — peak memory
+    is O(segment) + the KV buffers, vs O(L) logits for the monolithic
+    path. Matches `positional_entropies` exactly (tests/test_scoring.py).
+    """
+    out = []
+    for seq in seqs:
+        ids, _ = prepare_batch([seq], tokenizer, prepend_bos=prepend_bos)
+        L = ids.shape[1]
+        cache = model.initialize_inference_params(1, L + 1)
+        pieces = []
+        for s in range(0, L, segment_len):
+            seg = jnp.asarray(ids[:, s:s + segment_len])
+            logits, cache = model(seg, inference_params_dict=cache,
+                                  donate_cache=True)
+            logp = jnp.astype(logits, jnp.float32)
+            logp = logp - jnp.max(logp, axis=-1, keepdims=True)
+            logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1,
+                                          keepdims=True))
+            ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+            pieces.append(np.asarray(ent, np.float32))
+        ent = np.concatenate(pieces, axis=1)[0]
+        # monolithic semantics: with BOS, position i's entropy describes
+        # the prediction OF sequence char i (logits trimmed by one)
+        if prepend_bos:
+            ent = ent[:-1]
+        out.append(ent[:len(seq)])
+        assert len(out[-1]) == len(seq)
+    return out
+
+
 def positional_entropies(
     seqs: Sequence[str],
     model,

@@ -91,6 +91,26 @@ def test_positional_entropies(setup):
         assert np.all(e <= np.log(512) + 1e-5)
 
 
+@pytest.mark.parametrize('prepend_bos,segment_len', [(True, 16),
+                                                     (False, 13)])
+def test_segmented_entropies_match_monolithic(setup, prepend_bos,
+                                              segment_len):
+    """Per-position entropies through the resumable donate-cache prefill
+    == one-pass entropies (the 131k long-context analysis path), incl.
+    non-aligned segment sizes."""
+    from evo_tpu.scoring import positional_entropies_segmented
+    model, tok = setup
+    seqs = ['ACGTACGATCGACGATCCGATCGGATCCAAAGGCGCGATACGATCAGCTT',
+            'CAGATTCCATT']
+    for s in seqs:
+        want = positional_entropies([s], model, tok,
+                                    prepend_bos=prepend_bos)[0]
+        got = positional_entropies_segmented(
+            [s], model, tok, segment_len=segment_len,
+            prepend_bos=prepend_bos)[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_invalid_reduce_method(setup):
     model, tok = setup
     with pytest.raises(ValueError):
