@@ -246,13 +246,16 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
     v_buf = jax.lax.dynamic_update_slice(
         v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
-    s = jnp.einsum('bhd,bmhd->bhm', q[:, 0].astype(jnp.float32),
-                   k_buf.astype(jnp.float32),
+    # dots run in the buffer dtype with f32 accumulation: an .astype(f32)
+    # on the buffers would MATERIALIZE an f32 KV copy (12.9 GB at 131k —
+    # XLA does not fuse converts into dot operands), doubling decode
+    # bandwidth and breaking long-context memory. Softmax stays f32.
+    s = jnp.einsum('bhd,bmhd->bhm', q[:, 0].astype(k_buf.dtype), k_buf,
                    preferred_element_type=jnp.float32) * scale
     valid = jnp.arange(T) <= offset
     s = jnp.where(valid[None, None], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1)
-    y = jnp.einsum('bhm,bmhd->bhd', a, v_buf.astype(jnp.float32),
+    y = jnp.einsum('bhm,bmhd->bhd', a.astype(v_buf.dtype), v_buf,
                    preferred_element_type=jnp.float32)
     y = y.astype(x_t.dtype)[:, None]  # (B, 1, H, Dh)
     return _out(p, x_t.dtype, y,
