@@ -253,6 +253,23 @@ def kernel_verify() -> dict:
             want = sdpa_causal(q, k, v)
             record(f'flash_attn L={L} blocks=({bq},{bk}) {dt.__name__}',
                    got, want, tol)
+    # segment-vs-buffer flash (resumed prefill / 131k path): traced
+    # offset, unaligned offsets, garbage buffer tail behind the mask
+    from evo_tpu.ops.pallas_attention import flash_attention_buffer
+    for Lq, T, off in [(2048, 8192, 4096), (512, 8192, 7003),
+                       (2048, 8192, 0)]:
+        ks = jax.random.split(jax.random.fold_in(key, T + off), 3)
+        q = jax.random.normal(ks[0], (1, Lq, H, Dh), jnp.bfloat16)
+        kb = jax.random.normal(ks[1], (1, T, H, Dh), jnp.bfloat16)
+        vb = jax.random.normal(ks[2], (1, T, H, Dh), jnp.bfloat16)
+        got = jax.jit(flash_attention_buffer)(q, kb, vb, jnp.int32(off))
+        s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
+                       kb.astype(jnp.float32)) / (Dh ** 0.5)
+        mask = (jnp.arange(T)[None, :] <= off + jnp.arange(Lq)[:, None])
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+        want = jnp.einsum('bhlt,bthd->blhd', jax.nn.softmax(s, axis=-1),
+                          vb.astype(jnp.float32))
+        record(f'flash_buffer Lq={Lq} T={T} off={off}', got, want, 3e-2)
     # fused FIR+gate: production shape class (3 streams, 4096 channels)
     for C, L, dt, tol in [(4096, 8192, jnp.bfloat16, 3e-2),
                           (512, 1024, jnp.float32, 2e-3)]:

@@ -175,6 +175,17 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
 
     B, L, H, Dh = q.shape
     T = k_buf.shape[1]
+    if use_pallas and mesh is None:
+        from evo_tpu.ops.pallas_attention import (flash_attention_buffer,
+                                                  flash_buffer_supported)
+        if flash_buffer_supported(T):
+            # Pallas segment-vs-buffer flash kernel: MXU dots + block-skip
+            # on the traced offset. Needs a 1024-aligned buffer (the
+            # segmented scorers allocate one); otherwise the jnp online
+            # softmax below is the exact fallback.
+            y = flash_attention_buffer(q, k_buf, v_buf, offset)
+            return _out(p, x.dtype, y, mesh,
+                        act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
     # online softmax over KV-buffer chunks: materializing the full
     # (B, H, L, T) score tensor is ~137 GB at T=131k — the exact workload

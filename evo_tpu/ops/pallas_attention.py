@@ -103,6 +103,140 @@ def _flash_bhld(q, k, v, *, block_q: int, block_k: int,
     )(q, k, v)
 
 
+def _flash_buffer_kernel(off_ref, q_ref, k_ref, v_ref, o_ref,
+                         m_scr, l_scr, acc_scr, *,
+                         scale: float, block_q: int, block_k: int):
+    """Flash attention of a query segment against a full KV buffer.
+
+    Query row r is absolute position `offset + r` (offset = tokens
+    already cached, a runtime scalar in SMEM via scalar prefetch); the
+    causal mask is `col <= offset + row`. K-blocks entirely in the
+    future of the whole q-block are skipped (`pl.when` with the traced
+    offset — the segmented-prefill equivalent of the causal skip)."""
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    offset = off_ref[0]
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(kb * block_k < offset + (qb + 1) * block_q)
+    def _compute():
+        q = q_ref[0]                                   # (bq, Dh)
+        k = k_ref[0]                                   # (bk, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        s = jnp.where(col <= offset + row, s, -jnp.inf)
+
+        m_prev = m_scr[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        finite = jnp.isfinite(m_new)
+        m_safe = jnp.where(finite, m_new, 0.0)
+        p = jnp.where(finite[:, None], jnp.exp(s - m_safe[:, None]), 0.0)
+        alpha = jnp.where(finite, jnp.exp(m_prev - m_safe), 1.0)
+        l_scr[:] = l_scr[:] * alpha[:, None] + \
+            jnp.sum(p, axis=-1)[:, None]
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(
+            jnp.where(finite, m_new, m_prev)[:, None], m_scr.shape)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finalize():
+        # every row attends at least position 0 (col 0 <= offset + row),
+        # so l > 0 for real rows; padded q rows are sliced off outside
+        o_ref[0] = (acc_scr[:] /
+                    jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
+                    ).astype(o_ref.dtype)
+
+
+def _buffer_block_k(T: int) -> int:
+    """Largest power-of-two k-block (<= 1024, >= 128) dividing T, or 0."""
+    bk = 1024
+    while bk >= 128:
+        if T % bk == 0:
+            return bk
+        bk //= 2
+    return 0
+
+
+def flash_buffer_supported(T: int) -> bool:
+    return _buffer_block_k(T) > 0
+
+
+def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
+                           interpret: bool = False):
+    """Segment-vs-buffer causal SDPA for resumed prefill.
+
+    q: (B, Lq, H, Dh) — queries at absolute positions
+    [offset, offset + Lq); k_buf/v_buf: (B, T, H, Dh) KV buffers with
+    positions [0, offset + Lq) written (the tail is masked by causality,
+    so its contents are irrelevant). offset: int32 scalar (traced OK).
+    Returns (B, Lq, H, Dh) in q.dtype. Requires flash_buffer_supported(T)
+    — allocate the buffer at a 1024-aligned length (the segmented
+    scorers do) or fall back to the jnp chunked path in
+    layers/attention.py.
+    """
+    B, Lq, H, Dh = q.shape
+    T = k_buf.shape[1]
+    bk = _buffer_block_k(T)
+    assert bk, T
+    bq = block_q
+    while bq > max(8, Lq):
+        bq //= 2
+    pad_q = (-Lq) % bq
+    scale = 1.0 / (Dh ** 0.5)
+
+    def to_bhld(x, pad):
+        L = x.shape[1]
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, L, Dh)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
+    grid = (B * H, (Lq + pad_q) // bq, T // bk)
+    kernel = functools.partial(_flash_buffer_kernel, scale=scale,
+                               block_q=bq, block_k=bk)
+    o = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq + pad_q, Dh), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, Dh), lambda b, i, j, off: (b, i, 0)),
+                pl.BlockSpec((1, bk, Dh), lambda b, i, j, off: (b, j, 0)),
+                pl.BlockSpec((1, bk, Dh), lambda b, i, j, off: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, Dh),
+                                   lambda b, i, j, off: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((bq, Dh), jnp.float32),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * (Lq + pad_q) * T * Dh // 2,
+            bytes_accessed=(B * H * (2 * T + 2 * Lq) * Dh
+                            * q.dtype.itemsize),
+            transcendentals=B * H * Lq * T // 2,
+        ),
+    )(jnp.asarray(offset, jnp.int32).reshape(1),
+      to_bhld(q, pad_q), to_bhld(k_buf, 0), to_bhld(v_buf, 0))
+    if pad_q:
+        o = o[:, :Lq]
+    return jnp.swapaxes(o.reshape(B, H, Lq, Dh), 1, 2)
+
+
 def flash_attention_causal(q, k, v, *, block_q: int = 512,
                            block_k: int = 1024, interpret: bool = False):
     """Causal SDPA. q, k, v: (B, L, H, Dh) -> (B, L, H, Dh), q.dtype.

@@ -169,6 +169,17 @@ def score_stream(
     return scores
 
 
+def _aligned_cache_len(L: int) -> int:
+    """KV-buffer length for segmented prefill: L+1, rounded up to 1024
+    for long sequences so the Pallas buffer-flash kernel is eligible
+    (ops/pallas_attention.py:flash_buffer_supported; padded positions
+    are always causally masked). ~50 KB/position — negligible."""
+    T = L + 1
+    if L >= 4096:
+        T = -(-T // 1024) * 1024
+    return T
+
+
 def score_sequences_segmented(
     seqs: Sequence[str],
     model,
@@ -198,7 +209,8 @@ def score_sequences_segmented(
     for seq in seqs:
         ids, _ = prepare_batch([seq], tokenizer, prepend_bos=prepend_bos)
         L = ids.shape[1]
-        cache = model.initialize_inference_params(1, L + 1)
+        cache = model.initialize_inference_params(
+            1, _aligned_cache_len(L))
         pieces = []
         carry_logit = None          # last logit of the previous segment
         for s in range(0, L, segment_len):
@@ -242,7 +254,8 @@ def positional_entropies_segmented(
     for seq in seqs:
         ids, _ = prepare_batch([seq], tokenizer, prepend_bos=prepend_bos)
         L = ids.shape[1]
-        cache = model.initialize_inference_params(1, L + 1)
+        cache = model.initialize_inference_params(
+            1, _aligned_cache_len(L))
         pieces = []
         for s in range(0, L, segment_len):
             seg = jnp.asarray(ids[:, s:s + segment_len])
