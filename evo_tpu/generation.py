@@ -143,6 +143,7 @@ class Generator:
         num_tokens: int = 32,
         cached_generation: bool = True,
         force_prompt_threshold: Optional[int] = None,
+        prefill_segment_len: Optional[int] = None,
         seed: int = 0,
         rng: Optional[jax.Array] = None,
         verbose: bool = False,
@@ -158,6 +159,13 @@ class Generator:
         force_prompt_threshold=None prefills the whole prompt via FFT (TPU
         default); an integer reproduces the reference's teacher-forcing split
         (`evo/generation.py:82-88`).
+
+        prefill_segment_len: prefill long prompts in chunks of this many
+        tokens through the donating resumable prefill (O(segment)
+        activation memory — the generation-side twin of
+        `score_sequences_segmented`, for 131k-class prompts on one chip).
+        Exact: the chunked conv carries modal/FIR state and attention
+        attends over the KV buffer (Pallas buffer-flash on TPU).
         """
         del cached_generation  # decode is always cached on TPU
         if input_ids is None:
@@ -193,7 +201,29 @@ class Generator:
             cache = _grow_cache(cache, cfg, needed)
         else:
             max_len = int(prompt.shape[1]) + num_forced + int(num_tokens)
+            if max_len >= 4096:
+                # 1024-aligned KV buffers make the Pallas buffer-flash
+                # kernel eligible for the segmented prefill below (padded
+                # positions are always causally masked)
+                max_len = -(-max_len // 1024) * 1024
             cache = self.model.initialize_inference_params(B, max_len)
+
+        if (prefill_segment_len is not None
+                and prompt.shape[1] > prefill_segment_len):
+            # chunk the prompt HEAD through the donating resumable prefill
+            # (the cache is owned here: freshly created, or deep-copied by
+            # _grow_cache above); the tail chunk stays with the fused
+            # program. head_len is a multiple of the segment so every head
+            # chunk shares one compiled shape.
+            P = int(prompt.shape[1])
+            head_len = ((P - 1) // prefill_segment_len) \
+                * prefill_segment_len
+            for s in range(0, head_len, prefill_segment_len):
+                _, cache = self.model(
+                    prompt[:, s:s + prefill_segment_len],
+                    inference_params_dict=cache, donate_cache=True)
+            prompt = prompt[:, head_len:]
+            resume = True
 
         if rng is None:
             rng = jax.random.PRNGKey(seed)
@@ -244,6 +274,7 @@ def generate(
     prepend_bos: bool = False,
     cached_generation: bool = True,
     force_prompt_threshold: Optional[int] = None,
+    prefill_segment_len: Optional[int] = None,
     verbose: int = 1,
     seed: int = 0,
     device: Optional[str] = None,  # accepted for API compat; unused
@@ -282,6 +313,7 @@ def generate(
             num_tokens=n_tokens,
             cached_generation=cached_generation,
             force_prompt_threshold=force_prompt_threshold,
+            prefill_segment_len=prefill_segment_len,
             seed=seed + bi,
             verbose=(verbose > 1),
         )

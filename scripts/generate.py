@@ -40,6 +40,10 @@ def main():
     parser.add_argument('--dp', type=int, default=1)
     parser.add_argument('--tp', type=int, default=None)
     parser.add_argument('--cp', type=int, default=1)
+    parser.add_argument('--prefill-segment-len', type=int, default=None,
+                        help='prefill long prompts in chunks of this many '
+                             'tokens through the resumable cache (bounded '
+                             'activation memory for 131k-class prompts)')
     parser.add_argument('--quant', default='none',
                         choices=['none', 'int8', 'int8x8', 'int4'],
                         help='opt-in serving precision (docs/serving.md): '
@@ -75,6 +79,7 @@ def main():
         n_tokens=args.n_tokens, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, batched=args.batched,
         prepend_bos=args.prepend_bos, cached_generation=True,
+        prefill_segment_len=args.prefill_segment_len,
         verbose=args.verbose, seed=args.seed)
     return seqs, scores
 

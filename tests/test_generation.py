@@ -164,6 +164,25 @@ def test_generate_empty_prompt_list(setup):
     assert generate([], model, tokenizer, n_tokens=4, verbose=0) == ([], [])
 
 
+@pytest.mark.parametrize('seg', [7, 16])
+def test_segmented_prefill_generation_matches_monolithic(setup, seg):
+    """prefill_segment_len chunks the prompt through the donating
+    resumable prefill (the 131k-prompt memory path); greedy tokens and
+    logits must match one-shot prefill, incl. a non-dividing segment."""
+    model, tok = setup
+    prompt = np.asarray(tok.tokenize('ACGTACGTACGTACGTACGTACGATCGGATCC'
+                                     'AAAGGCGC'))[None]
+    n = 8
+    g = Generator(model, tok, top_k=1, temperature=0.0)
+    gen_full, sc_full, _ = g.generate(input_ids=prompt, num_tokens=n)
+    gen_seg, sc_seg, _ = g.generate(input_ids=prompt, num_tokens=n,
+                                    prefill_segment_len=seg)
+    np.testing.assert_array_equal(np.asarray(gen_full),
+                                  np.asarray(gen_seg))
+    np.testing.assert_allclose(np.asarray(sc_full), np.asarray(sc_seg),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_grow_cache_copies_all_leaves(setup):
     """Resume with growth must not alias ANY caller buffer (donation
     safety: offset and Hyena state were previously passed through)."""
