@@ -175,15 +175,30 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
 
     B, L, H, Dh = q.shape
     T = k_buf.shape[1]
-    if use_pallas and mesh is None:
+    if use_pallas and not has_cp(mesh):
         from evo_tpu.ops.pallas_attention import (flash_attention_buffer,
                                                   flash_buffer_supported)
         if flash_buffer_supported(T):
             # Pallas segment-vs-buffer flash kernel: MXU dots + block-skip
             # on the traced offset. Needs a 1024-aligned buffer (the
             # segmented scorers allocate one); otherwise the jnp online
-            # softmax below is the exact fallback.
-            y = flash_attention_buffer(q, k_buf, v_buf, offset)
+            # softmax below is the exact fallback. Under a (dp, tp) mesh
+            # the kernel runs inside shard_map (batch on dp, heads on tp —
+            # pallas_call has no GSPMD rule), same as sdpa_causal.
+            if mesh is None:
+                y = flash_attention_buffer(q, k_buf, v_buf, offset)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from evo_tpu.parallel.mesh import channel_axes
+                spec = P('dp', None, channel_axes(mesh), None)
+                y = jax.shard_map(
+                    lambda a, kk, vv, off: flash_attention_buffer(
+                        a, kk, vv, off),
+                    mesh=mesh,
+                    in_specs=(spec, spec, spec, P()),
+                    out_specs=spec, check_vma=False,
+                )(q, k_buf, v_buf, jnp.asarray(offset, jnp.int32))
             return _out(p, x.dtype, y, mesh,
                         act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))

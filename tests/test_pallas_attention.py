@@ -141,3 +141,43 @@ def test_buffer_flash_layer_integration(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(kv_g[0]), np.asarray(kv_w[0]))
+
+
+def test_buffer_flash_sharded(monkeypatch):
+    """The (dp, tp) shard_map route around the buffer kernel: per-shard
+    results must equal the unsharded kernel (heads split on tp, batch on
+    dp, replicated offset)."""
+    import evo_tpu.ops.pallas_attention as pa
+    from evo_tpu.layers.attention import mha_full
+    from evo_tpu.models import config_for_model
+    from evo_tpu.parallel.mesh import local_mesh
+
+    orig = pa.flash_attention_buffer
+    monkeypatch.setattr(
+        pa, 'flash_attention_buffer',
+        lambda *a, **kw: orig(*a, interpret=True, **kw))
+
+    cfg = config_for_model('evo-1-8k-base').replace(
+        hidden_size=512, num_filters=512, num_layers=2,
+        attn_layer_idxs=(0,), hyena_layer_idxs=(1,),
+        num_attention_heads=4, state_size=4, inner_mlp_size=1024,
+        compute_dtype='float32', param_dtype='float32')
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    D, H, Dh = 512, 4, 128
+    p = {'wqkv': jax.random.normal(ks[0], (D, 3, H, Dh)) * 0.05,
+         'bqkv': jax.random.normal(ks[1], (3, H, Dh)) * 0.01,
+         'wo': jax.random.normal(ks[2], (H, Dh, D)) * 0.05,
+         'bo': jnp.zeros((D,))}
+    x = jax.random.normal(ks[3], (2, 64, D), jnp.float32)
+    T, offset = 1024, 100
+    k_buf = jnp.zeros((2, T, H, Dh), jnp.float32)
+    v_buf = jnp.zeros((2, T, H, Dh), jnp.float32)
+    mesh = local_mesh(dp=2, tp=4)
+    want, _ = mha_full(p, cfg, x, offset=offset,
+                       kv_buffers=(k_buf, v_buf), use_pallas=True,
+                       attend_buffer=True)
+    got, _ = mha_full(p, cfg, x, offset=offset, mesh=mesh,
+                      kv_buffers=(k_buf, v_buf), use_pallas=True,
+                      attend_buffer=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
