@@ -337,6 +337,25 @@ def kernel_verify() -> dict:
                               st=(want_fir, want_iir))
         record(f'hyena_mixer cont C={C} {dt.__name__}', got2[0], want2[0],
                tol)
+    # packed-int4 weight matmul (serving memory-fit mode): both the
+    # VPU-unpack default and the MXU-unpack dots modes, decode shapes
+    from evo_tpu.ops.pallas_int4 import int4_matmul, pack_int4
+    for M, Kp, N in [(1, 4096, 12288), (8, 11008, 4096)]:
+        ks = jax.random.split(jax.random.fold_in(key, Kp + N), 3)
+        x4 = jax.random.normal(ks[0], (M, Kp), jnp.bfloat16)
+        qv = jax.random.randint(ks[1], (Kp, N), -8, 8, jnp.int8)
+        pk = pack_int4(qv)
+        sc = jax.random.uniform(ks[2], (Kp // 128, N), jnp.float32,
+                                minval=0.01, maxval=0.1)
+        wd = (qv.astype(jnp.float32).reshape(Kp // 128, 128, N)
+              * sc[:, None]).reshape(Kp, N)
+        want = (x4.astype(jnp.float32) @ wd)
+        for mode in ('unroll', 'dots', 'dots8'):
+            got = jax.jit(functools.partial(
+                int4_matmul, mode=mode))(x4, pk, sc)
+            # dots8 adds per-row int8 activation quantization (~0.4%)
+            record(f'int4_matmul {mode} M={M} K={Kp}', got, want,
+                   2e-2 if mode == 'dots8' else 5e-3)
     # fused RMSNorm
     for shape, dt, tol in [((2, 2048, 4096), jnp.bfloat16, 3e-2),
                            ((1, 512, 512), jnp.float32, 2e-3)]:
