@@ -71,34 +71,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
 
 
-def _flash_bhld(q, k, v, *, block_q: int, block_k: int,
-                interpret: bool = False):
-    """q, k, v: (BH, L, Dh) with L a multiple of the block sizes."""
-    BH, L, Dh = q.shape
+def _flash_native(q, k, v, H: int, *, block_q: int, block_k: int,
+                  interpret: bool = False):
+    """q, k, v: (B, L, H*Dh) — the NATIVE activation layout (free reshape
+    of (B, L, H, Dh)); the BlockSpec index map picks head b%H's Dh-wide
+    channel slice. L must be a multiple of the block sizes. Avoids the
+    (B*H, L, Dh) swapaxes that materializes transposed copies of every
+    operand (2 GB per layer at L=8k, 4x that at 131k buffers)."""
+    B, L, HD = q.shape
+    Dh = HD // H
     scale = 1.0 / (Dh ** 0.5)
-    grid = (BH, L // block_q, L // block_k)
+    grid = (B * H, L // block_q, L // block_k)
     kernel = functools.partial(_flash_kernel, scale=scale,
                                block_q=block_q, block_k=block_k)
+    q_spec = pl.BlockSpec((1, block_q, Dh),
+                          lambda b, i, j, H=H: (b // H, i, b % H))
+    kv_spec = pl.BlockSpec((1, block_k, Dh),
+                           lambda b, i, j, H=H: (b // H, j, b % H))
     return pl.pallas_call(
         kernel,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),   # running max
             pltpu.VMEM((block_q, _LANES), jnp.float32),   # denominator
             pltpu.VMEM((block_q, Dh), jnp.float32),       # output acc
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * BH * L * L * Dh // 2,  # ~causal half
-            bytes_accessed=3 * BH * L * Dh * q.dtype.itemsize,
-            transcendentals=BH * L * L // 2,
+            flops=2 * 2 * B * H * L * L * Dh // 2,  # ~causal half
+            bytes_accessed=3 * B * H * L * Dh * q.dtype.itemsize,
+            transcendentals=B * H * L * L // 2,
         ),
     )(q, k, v)
 
@@ -194,9 +199,15 @@ def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
     pad_q = (-Lq) % bq
     scale = 1.0 / (Dh ** 0.5)
 
-    def to_bhld(x, pad):
-        L = x.shape[1]
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, L, Dh)
+    # NATIVE layout in, native layout out: the buffers stay (B, T, H*Dh)
+    # (a free contiguous reshape of (B, T, H, Dh)) and the BlockSpec
+    # index map picks head h's Dh-wide channel slice. A swapaxes to
+    # (B*H, T, Dh) here would MATERIALIZE a transposed copy of the
+    # whole KV buffer — 4.3 GB of temps per layer at 131k, the
+    # difference between fitting a 16 GB chip and not.
+    def flat(x, pad):
+        Bx, L, Hx, Dx = x.shape
+        x = x.reshape(Bx, L, Hx * Dx)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         return x
@@ -204,20 +215,19 @@ def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
     grid = (B * H, (Lq + pad_q) // bq, T // bk)
     kernel = functools.partial(_flash_buffer_kernel, scale=scale,
                                block_q=bq, block_k=bk)
+    q_spec = pl.BlockSpec((1, bq, Dh),
+                          lambda b, i, j, off, H=H: (b // H, i, b % H))
+    kv_spec = pl.BlockSpec((1, bk, Dh),
+                           lambda b, i, j, off, H=H: (b // H, j, b % H))
     o = pl.pallas_call(
         kernel,
         interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((B * H, Lq + pad_q, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lq + pad_q, H * Dh), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, Dh), lambda b, i, j, off: (b, i, 0)),
-                pl.BlockSpec((1, bk, Dh), lambda b, i, j, off: (b, j, 0)),
-                pl.BlockSpec((1, bk, Dh), lambda b, i, j, off: (b, j, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, bq, Dh),
-                                   lambda b, i, j, off: (b, i, 0)),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
             scratch_shapes=[
                 pltpu.VMEM((bq, _LANES), jnp.float32),
                 pltpu.VMEM((bq, _LANES), jnp.float32),
@@ -231,10 +241,10 @@ def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
             transcendentals=B * H * Lq * T // 2,
         ),
     )(jnp.asarray(offset, jnp.int32).reshape(1),
-      to_bhld(q, pad_q), to_bhld(k_buf, 0), to_bhld(v_buf, 0))
+      flat(q, pad_q), flat(k_buf, 0), flat(v_buf, 0))
     if pad_q:
         o = o[:, :Lq]
-    return jnp.swapaxes(o.reshape(B, H, Lq, Dh), 1, 2)
+    return o.reshape(B, Lq, H, Dh)
 
 
 def flash_attention_causal(q, k, v, *, block_q: int = 512,
@@ -266,14 +276,14 @@ def flash_attention_causal(q, k, v, *, block_q: int = 512,
     pad = (-L) % unit
     assert (L + pad) % bq == 0 and (L + pad) % bk == 0
 
-    def to_bhld(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, L, Dh)
+    def flat(x):
+        x = x.reshape(B, L, H * Dh)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         return x
 
-    o = _flash_bhld(to_bhld(q), to_bhld(k), to_bhld(v),
-                    block_q=bq, block_k=bk, interpret=interpret)
+    o = _flash_native(flat(q), flat(k), flat(v), H,
+                      block_q=bq, block_k=bk, interpret=interpret)
     if pad:
         o = o[:, :L]
-    return jnp.swapaxes(o.reshape(B, H, L, Dh), 1, 2)
+    return o.reshape(B, L, H, Dh)
