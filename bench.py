@@ -72,6 +72,12 @@ def bench_prefill(cfg, batch: int, length: int, iters: int = 3,
         from evo_tpu.quant import quantize_params
         cfg = cfg.replace(weight_quant='int8', act_quant='int8')
         params = quantize_params(params, free_source=True)
+    elif quant != 'none':
+        # do NOT silently fall through to bf16 under an int4 flag: int4
+        # is a decode/memory mode (use --preset generate), and a wrong
+        # label here would record a bf16 number as a quantized one
+        raise ValueError(f'prefill presets support --quant int8 only, '
+                         f'got {quant!r}')
     ids = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (batch, length)),
         jnp.int32)

@@ -250,6 +250,22 @@ def cli_tiny_overrides() -> dict:
         param_dtype='float32', use_pallas='never')
 
 
+def cli_quant_overrides(quant: str) -> dict:
+    """Map the CLIs' `--quant` choice to config overrides (shared by
+    scripts/score.py and scripts/generate.py; docs/serving.md):
+    'int8' = weight-only, 'int8x8' = int8 weights + dynamic int8
+    activations, 'int4' = memory-fit mode, 'none' = {} (reference-parity
+    bf16)."""
+    if quant == 'none':
+        return {}
+    if quant not in ('int8', 'int8x8', 'int4'):
+        raise ValueError(f'unknown --quant {quant!r}')
+    ov = {'weight_quant': 'int8' if quant == 'int8x8' else quant}
+    if quant == 'int8x8':
+        ov['act_quant'] = 'int8'
+    return ov
+
+
 def tiny_config(**overrides) -> ModelConfig:
     """A small CPU-runnable config with the same schema as evo-1-8k-base.
 

@@ -40,7 +40,8 @@ import numpy as np
 from evo_tpu import model as model_lib
 from evo_tpu.config import ModelConfig
 from evo_tpu.ops.sampling import sample
-from evo_tpu.scoring import logits_to_logprobs, prepare_batch
+from evo_tpu.scoring import (_aligned_cache_len, logits_to_logprobs,
+                             prepare_batch)
 from evo_tpu.tokenizer import CharLevelTokenizer
 
 
@@ -200,13 +201,11 @@ class Generator:
                 + int(num_tokens)
             cache = _grow_cache(cache, cfg, needed)
         else:
+            # _aligned_cache_len: 1024-aligned KV buffers make the Pallas
+            # buffer-flash kernel eligible for the segmented prefill below
             max_len = int(prompt.shape[1]) + num_forced + int(num_tokens)
-            if max_len >= 4096:
-                # 1024-aligned KV buffers make the Pallas buffer-flash
-                # kernel eligible for the segmented prefill below (padded
-                # positions are always causally masked)
-                max_len = -(-max_len // 1024) * 1024
-            cache = self.model.initialize_inference_params(B, max_len)
+            cache = self.model.initialize_inference_params(
+                B, _aligned_cache_len(max_len - 1))
 
         if (prefill_segment_len is not None
                 and prompt.shape[1] > prefill_segment_len):

@@ -100,10 +100,13 @@ class EvoModel:
             ids = ids[None]
         if inference_params_dict is None:
             return self._fwd(self.params, ids), None
-        if ids.shape[1] == 1:
+        if ids.shape[1] == 1 and not donate_cache:
             logits, cache = self._step(self.params, ids[:, 0],
                                        inference_params_dict)
             return logits[:, None], cache
+        # donate_cache honors donation even at length 1 by taking the
+        # donating PREFILL (the decode-step jit is not donated and would
+        # copy the full KV buffers — 6.4 GB at 131k)
         resume = int(np.asarray(inference_params_dict['offset'])) > 0
         fn = self._prefill_donate if donate_cache else self._prefill
         return fn(self.params, ids, inference_params_dict, resume=resume)

@@ -55,18 +55,23 @@ def prepare_batch(
     return batch, seq_lengths
 
 
+def _log_softmax(logits):
+    """f32 log_softmax over the vocab axis — the ONE normalization every
+    scoring/entropy path shares (reference computes it in model dtype
+    then casts; fp32 here is within the 1e-3 budget and strictly more
+    accurate)."""
+    logp = jnp.astype(logits, jnp.float32)
+    logp = logp - jnp.max(logp, axis=-1, keepdims=True)
+    return logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
+
+
 def logits_to_logprobs(logits, input_ids, trim_bos: bool = True):
     """Per-position log-likelihood of `input_ids` under `logits`.
 
     logits: (B, L, V); input_ids: (B, L). Returns (B, L-1) when trim_bos
-    (drop last prediction, drop first input id) else (B, L). log_softmax in
-    float32 (reference computes it in model dtype then casts; fp32 here is
-    within the 1e-3 budget and strictly more accurate).
+    (drop last prediction, drop first input id) else (B, L).
     """
-    logprobs = jnp.astype(logits, jnp.float32)
-    logprobs = logprobs - jnp.max(logprobs, axis=-1, keepdims=True)
-    logprobs = logprobs - jnp.log(
-        jnp.sum(jnp.exp(logprobs), axis=-1, keepdims=True))
+    logprobs = _log_softmax(logits)
     if trim_bos:
         logprobs = logprobs[:, :-1]
         input_ids = input_ids[:, 1:]
@@ -180,6 +185,25 @@ def _aligned_cache_len(L: int) -> int:
     return T
 
 
+def _segment_bounds(L: int, segment_len: int) -> List[int]:
+    """Split points for segmented prefill: the ragged remainder goes in
+    the FIRST segment (a fresh prefill accepts any length; tiny
+    remainders are absorbed into it), every later segment is exactly
+    `segment_len`. A ragged LAST segment would route a short tail
+    through extra compiled shapes — and a 1-token tail through the
+    non-donating decode step, which copies the full KV buffers: an OOM
+    on the 131k workload this machinery exists for (a 131073-token
+    BOS-prefixed sequence has exactly that tail)."""
+    r = L % segment_len
+    if r and r < 64 and L > segment_len:
+        r += segment_len
+    first = r or min(L, segment_len)
+    bounds = [0, first]
+    while bounds[-1] < L:
+        bounds.append(min(bounds[-1] + segment_len, L))
+    return bounds
+
+
 def score_sequences_segmented(
     seqs: Sequence[str],
     model,
@@ -213,8 +237,9 @@ def score_sequences_segmented(
             1, _aligned_cache_len(L))
         pieces = []
         carry_logit = None          # last logit of the previous segment
-        for s in range(0, L, segment_len):
-            seg = jnp.asarray(ids[:, s:s + segment_len])
+        bounds = _segment_bounds(L, segment_len)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = jnp.asarray(ids[:, s:e])
             # donate_cache: this loop owns `cache` and replaces it every
             # segment; donation keeps ONE set of KV buffers live (6.4 GB
             # at 131k — an un-donated copy cannot fit next to the weights)
@@ -257,14 +282,12 @@ def positional_entropies_segmented(
         cache = model.initialize_inference_params(
             1, _aligned_cache_len(L))
         pieces = []
-        for s in range(0, L, segment_len):
-            seg = jnp.asarray(ids[:, s:s + segment_len])
+        bounds = _segment_bounds(L, segment_len)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = jnp.asarray(ids[:, s:e])
             logits, cache = model(seg, inference_params_dict=cache,
                                   donate_cache=True)
-            logp = jnp.astype(logits, jnp.float32)
-            logp = logp - jnp.max(logp, axis=-1, keepdims=True)
-            logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1,
-                                          keepdims=True))
+            logp = _log_softmax(logits)
             ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
             pieces.append(np.asarray(ent, np.float32))
         ent = np.concatenate(pieces, axis=1)[0]
@@ -288,9 +311,7 @@ def positional_entropies(
     input_ids, seq_lengths = prepare_batch(seqs, tokenizer,
                                            prepend_bos=prepend_bos)
     logits, _ = model(input_ids)
-    logp = jnp.astype(logits, jnp.float32)
-    logp = logp - jnp.max(logp, axis=-1, keepdims=True)
-    logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
+    logp = _log_softmax(logits)
     if prepend_bos:
         logp = logp[:, :-1]
     ent = np.asarray(-jnp.sum(jnp.exp(logp) * logp, axis=-1))

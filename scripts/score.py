@@ -77,11 +77,8 @@ def main():
         from evo_tpu.config import cli_tiny_overrides
         overrides = cli_tiny_overrides()
     if args.quant != 'none':
-        overrides = dict(overrides or {})
-        overrides['weight_quant'] = ('int8' if args.quant == 'int8x8'
-                                     else args.quant)
-        if args.quant == 'int8x8':
-            overrides['act_quant'] = 'int8'
+        from evo_tpu.config import cli_quant_overrides
+        overrides = dict(overrides or {}, **cli_quant_overrides(args.quant))
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
               random_init=args.random_init, config_overrides=overrides,
               mesh=mesh)

@@ -172,8 +172,30 @@ def test_no_bos_scoring_uses_next_token_pairing(setup):
     np.testing.assert_allclose(got, float(np.sum(manual)), rtol=1e-5)
 
 
-@pytest.mark.parametrize('prepend_bos,segment_len', [(True, 16), (False, 16),
-                                                     (True, 13)])
+def test_segment_bounds():
+    """Ragged remainder first; tiny remainders absorbed into the first
+    segment (a 1-token LAST segment would route through the non-donating
+    decode step — the 131073-token BOS-prefixed OOM found in review)."""
+    from evo_tpu.scoring import _segment_bounds
+    assert _segment_bounds(131073, 8192)[:2] == [0, 8193]
+    b = _segment_bounds(131073, 8192)
+    assert b[-1] == 131073 and all(e - s == 8192 for s, e in
+                                   zip(b[1:-1], b[2:]))
+    assert _segment_bounds(51, 16) == [0, 19, 35, 51]
+    assert _segment_bounds(280, 180) == [0, 100, 280]
+    assert _segment_bounds(32, 64) == [0, 32]
+    assert _segment_bounds(64, 64) == [0, 64]
+    assert _segment_bounds(1, 8192) == [0, 1]
+    # no segment besides a tail-less first is ever shorter than 64
+    for L in (8193, 8256, 10000, 16384):
+        bb = _segment_bounds(L, 8192)
+        assert all(e - s >= 64 for s, e in zip(bb[1:-1], bb[2:]))
+
+
+@pytest.mark.parametrize('prepend_bos,segment_len',
+                         [(True, 16), (False, 16), (True, 13),
+                          # L % seg == 1 (the 131073-token shape class)
+                          (True, 10)])
 def test_segmented_scoring_matches_monolithic(setup, prepend_bos,
                                               segment_len):
     """Chunked-prefill scoring through the resumable cache == one-pass
