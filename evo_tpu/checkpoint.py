@@ -102,6 +102,12 @@ def _pop(sd: Dict[str, np.ndarray], key: str,
     return None
 
 
+# engine buffers present in real snapshots but not parameters; dropped on
+# conversion, ignored by validation, optionally emitted on export —
+# ONE regex so the converter and validator can never disagree
+_BUFFER_RE = re.compile(r'rotary_emb\.inv_freq$|\.t$|filter\.h$')
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray],
                        cfg: ModelConfig) -> Dict[str, Any]:
     """Map an engine-layer state dict (backbone prefix already stripped) to
@@ -134,16 +140,30 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     D = cfg.hidden_size
 
     # drop non-parameter buffers
-    for k in [k for k in sd
-              if re.search(r'rotary_emb\.inv_freq$|\.t$|filter\.h$', k)]:
+    for k in [k for k in sd if _BUFFER_RE.search(k)]:
         del sd[k]
 
     params: Dict[str, Any] = {}
     emb = _pop(sd, 'embedding_layer.weight')
     params['embedding'] = _to_dtype(emb, pd)
-    unembed = _pop(sd, 'unembed.weight', required=not cfg.tie_embeddings)
-    if unembed is not None and not cfg.tie_embeddings:
-        params['unembed'] = _to_dtype(unembed, pd)
+    unembed = _pop(sd, 'unembed.weight', required=False)
+    if cfg.tie_embeddings:
+        # tied: the snapshot normally stores the embedding once
+        # (evo/models.py:136-137). A PRESENT unembed that differs from
+        # the embedding means the config is wrong for this checkpoint —
+        # silently dropping it would produce wrong logits with no error.
+        if unembed is not None and not np.array_equal(
+                np.asarray(unembed, np.float32),
+                np.asarray(emb, np.float32)):
+            raise ValueError(
+                'checkpoint has an unembed.weight that differs from '
+                'embedding_layer.weight but the config says '
+                'tie_embeddings=True — untied snapshot, fix the config')
+    else:
+        # untied config + tied snapshot: the reference loader copies the
+        # embedding into the unembed slot (evo/models.py:136-137)
+        params['unembed'] = _to_dtype(
+            unembed if unembed is not None else emb, pd)
     if cfg.final_norm:
         params['final_norm'] = _to_dtype(_pop(sd, 'norm.scale'), pd)
 
@@ -242,11 +262,6 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
 # ---------------------------------------------------------------------------
 # evo_tpu param pytree -> engine-layout state dict (inverse converter)
 # ---------------------------------------------------------------------------
-
-# engine buffers present in real snapshots but not parameters; dropped on
-# conversion, optionally emitted on export for realism
-_BUFFER_RE = re.compile(r'rotary_emb\.inv_freq$|\.t$|filter\.h$')
-
 
 def _np(x) -> np.ndarray:
     """jax array -> numpy preserving dtype (bf16 -> ml_dtypes bfloat16)."""
@@ -418,7 +433,12 @@ def validate_state_dict(sd: Dict[str, np.ndarray],
         if k in sd and tuple(sd[k].shape) != tuple(spec[k])
         # poles/residues tolerate the squeezed (D, S, 2) layout
         and not (k.endswith(('.poles', '.residues'))
-                 and tuple(sd[k].shape) == tuple(spec[k][:2]) + (2,))}
+                 and tuple(sd[k].shape) == tuple(spec[k][:2]) + (2,))
+        # short_filter_weight tolerates the squeezed (3D, K) layout —
+        # the converter accepts it, and 'ok' must mean convertible
+        and not (k.endswith('.short_filter_weight')
+                 and tuple(sd[k].shape)
+                 == (spec[k][0], spec[k][2]))}
     return {
         'ok': not (missing or unexpected or mismatched),
         'n_tensors': len(sd), 'n_expected': len(spec),
@@ -460,11 +480,16 @@ def infer_config_overrides(sd: Dict[str, np.ndarray],
                         if (m := re.match(r'blocks\.(\d+)\.', k))})
     if layer_ids:
         n_layers = layer_ids[-1] + 1
-        if n_layers != cfg.num_layers:
-            ovr['num_layers'] = n_layers
         attn = tuple(i for i in layer_ids
                      if f'blocks.{i}.inner_mha_cls.Wqkv.weight' in sd)
-        if attn != tuple(cfg.attn_layer_idxs):
+        if (n_layers != cfg.num_layers
+                or attn != tuple(cfg.attn_layer_idxs)):
+            # emit the FULL partition whenever depth OR attn placement
+            # differs: cfg.replace keeps the stale auto-filled
+            # hyena_layer_idxs otherwise (__post_init__ only derives it
+            # when empty), tripping the partition assertion
+            if n_layers != cfg.num_layers:
+                ovr['num_layers'] = n_layers
             ovr['attn_layer_idxs'] = attn
             ovr['hyena_layer_idxs'] = tuple(
                 i for i in range(n_layers) if i not in attn)
@@ -588,6 +613,37 @@ def native_config(path: str) -> Optional[ModelConfig]:
     if 'config' not in meta:
         return None
     return ModelConfig.from_dict(meta['config'])
+
+
+# fields that determine the parameter pytree's structure/shapes — the
+# saved native config is ground truth for these (a checkpoint written
+# under an adapted config MUST reload under it); everything else
+# (dtypes, kernels, quant/serving toggles, mesh hints) stays caller-owned
+_ARCH_FIELDS = (
+    'vocab_size', 'hidden_size', 'num_filters', 'num_layers',
+    'attn_layer_idxs', 'hyena_layer_idxs', 'short_filter_length',
+    'num_attention_heads', 'state_size', 'inner_mlp_size',
+    'inner_size_multiple_of', 'make_vocab_size_divisible_by',
+    'proj_groups', 'hyena_filter_groups', 'tie_embeddings',
+    'qkv_proj_bias', 'mha_out_proj_bias', 'hyena_proj_bias',
+    'hyena_out_proj_bias', 'short_filter_bias', 'final_norm',
+)
+
+
+def reconcile_native_config(path: str, cfg: ModelConfig) -> ModelConfig:
+    """Overlay the architecture fields of the config saved alongside a
+    native checkpoint onto `cfg` (keeping the caller's runtime fields:
+    dtypes, use_pallas, weight_quant, mesh knobs). Without this, a
+    checkpoint saved under an adapted config (true inner_mlp_size,
+    shifted attn partition) silently reloads under the registry default
+    — a structure mismatch the loader only surfaces as obscure orbax or
+    segment-zip errors far from the cause."""
+    saved = native_config(path)
+    if saved is None:
+        return cfg
+    ovr = {f: getattr(saved, f) for f in _ARCH_FIELDS
+           if getattr(saved, f) != getattr(cfg, f)}
+    return cfg.replace(**ovr) if ovr else cfg
 
 
 def is_native_checkpoint(path: str) -> bool:

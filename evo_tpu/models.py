@@ -164,6 +164,10 @@ def load_checkpoint(
             checkpoint_path = snapshot_download(model_name)
         from evo_tpu import checkpoint as ckpt
         if ckpt.is_native_checkpoint(checkpoint_path):
+            # the config saved WITH the checkpoint is ground truth for
+            # architecture fields (it may have been adapted from a
+            # snapshot at save time); runtime fields stay as requested
+            config = ckpt.reconcile_native_config(checkpoint_path, config)
             params = ckpt.load_params_auto(checkpoint_path, config,
                                            mesh=mesh)
         else:

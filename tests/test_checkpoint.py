@@ -278,3 +278,91 @@ def test_native_save_load_round_trip(tiny, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     cfg2 = checkpoint.native_config(path)
     assert cfg2 == cfg
+
+
+def test_adaptive_load_depth_change_same_attn(tiny, tmp_path):
+    """Review regression: a snapshot with MORE layers whose attention
+    indices happen to match the prior config must adapt (previously
+    cfg.replace kept the stale hyena partition and tripped the
+    partition assertion)."""
+    cfg8 = tiny_config(num_layers=8, attn_layer_idxs=(1,),
+                       hyena_layer_idxs=())
+    params8 = model_lib.init_params(jax.random.PRNGKey(1), cfg8)
+    path = str(tmp_path / 'deep')
+    checkpoint.write_reference_snapshot(params8, cfg8, path)
+    cfg4 = tiny_config()          # 4 layers, attn also at (1,)
+    assert tuple(cfg4.attn_layer_idxs) == (1,)
+    got, cfg_out = checkpoint.load_reference_checkpoint_adaptive(
+        path, cfg4, verbose=False)
+    assert cfg_out.num_layers == 8
+    assert tuple(cfg_out.hyena_layer_idxs) == (0, 2, 3, 4, 5, 6, 7)
+
+
+def test_native_checkpoint_reloads_its_saved_config(tiny, tmp_path):
+    """Review regression: a native checkpoint saved under an ADAPTED
+    config must reload under it, not under the registry default."""
+    cfg8 = tiny_config(num_layers=8, attn_layer_idxs=(1, 5),
+                       hyena_layer_idxs=(), inner_mlp_size=112)
+    params8 = model_lib.init_params(jax.random.PRNGKey(2), cfg8)
+    path = str(tmp_path / 'native')
+    checkpoint.save_native(params8, path, cfg=cfg8)
+    cfg4 = tiny_config()
+    rec = checkpoint.reconcile_native_config(path, cfg4)
+    assert rec.num_layers == 8
+    assert tuple(rec.attn_layer_idxs) == (1, 5)
+    assert rec.inner_mlp_size_actual == cfg8.inner_mlp_size_actual
+    # runtime fields stay caller-owned
+    assert rec.param_dtype == cfg4.param_dtype
+    from evo_tpu.models import load_checkpoint
+    model, cfg_out = load_checkpoint('evo-1-8k-base', checkpoint_path=path,
+                                     config_overrides=dict(
+                                         **{k: getattr(cfg4, k) for k in
+                                            ('hidden_size', 'num_filters',
+                                             'num_attention_heads',
+                                             'state_size', 'compute_dtype',
+                                             'param_dtype')},
+                                         use_pallas='never'))
+    assert cfg_out.num_layers == 8
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 7), 0, 512)
+    np.testing.assert_allclose(
+        np.asarray(model(ids)[0]),
+        np.asarray(model_lib.forward(params8, cfg8, ids)), atol=1e-5)
+
+
+def test_untied_config_tied_snapshot_copies_embedding(tiny):
+    """Reference behavior (evo/models.py:136-137): unembed absent in the
+    snapshot + tie_embeddings=False -> the embedding is copied in."""
+    cfg, params = tiny
+    sd = _params_to_engine_sd(params, cfg)
+    assert 'unembed.weight' not in sd
+    cfg_untied = cfg.replace(tie_embeddings=False)
+    got = checkpoint.convert_state_dict(dict(sd), cfg_untied)
+    np.testing.assert_array_equal(np.asarray(got['unembed']),
+                                  np.asarray(got['embedding']))
+
+
+def test_tied_config_untied_snapshot_fails_loud(tiny):
+    """A snapshot whose unembed differs from the embedding under
+    tie_embeddings=True must raise, not silently drop the tensor."""
+    cfg, params = tiny
+    sd = _params_to_engine_sd(params, cfg)
+    sd['unembed.weight'] = sd['embedding_layer.weight'] + 1.0
+    with pytest.raises(ValueError, match='tie_embeddings'):
+        checkpoint.convert_state_dict(dict(sd), cfg)
+    # identical copy is tolerated (some exporters materialize the tie)
+    sd['unembed.weight'] = sd['embedding_layer.weight'].copy()
+    checkpoint.convert_state_dict(dict(sd), cfg)
+
+
+def test_validate_accepts_squeezed_short_filter(tiny):
+    """'ok is True iff conversion succeeds': the converter accepts a
+    squeezed (3D, K) short filter, so validation must too."""
+    cfg, params = tiny
+    sd = checkpoint.export_state_dict(params, cfg)
+    for k in list(sd):
+        if k.endswith('.short_filter_weight'):
+            assert sd[k].ndim == 3
+            sd[k] = sd[k][:, 0, :]
+    report = checkpoint.validate_state_dict(sd, cfg)
+    assert report['ok'], checkpoint.format_validation_report(report)
+    checkpoint.convert_state_dict(dict(sd), cfg)
