@@ -561,7 +561,13 @@ def load_reference_checkpoint_adaptive(path: str, cfg: ModelConfig,
     shardings = None
     if mesh is not None:
         from evo_tpu.parallel.sharding import param_shardings
-        shardings = param_shardings(cfg, mesh)
+        # checkpoints store the UNQUANTIZED tree — quantization happens
+        # after load (models.py) — so the sharding tree must match the
+        # plain layout even when cfg.weight_quant is set (param_specs
+        # would otherwise return the {'q','s'} structure and device_put
+        # would fail on a tree-prefix mismatch)
+        shardings = param_shardings(
+            cfg.replace(weight_quant='none', act_quant='none'), mesh)
     return _convert_placed(sd, cfg, shardings), cfg
 
 
@@ -656,7 +662,9 @@ def load_params_auto(path: str, cfg: ModelConfig, mesh=None,
     explicit `shardings` tree is passed."""
     if shardings is None and mesh is not None:
         from evo_tpu.parallel.sharding import param_shardings
-        shardings = param_shardings(cfg, mesh)
+        # stored trees are unquantized; quantization happens after load
+        shardings = param_shardings(
+            cfg.replace(weight_quant='none', act_quant='none'), mesh)
     if is_native_checkpoint(path):
         return load_native(path, cfg, shardings)
     return load_reference_checkpoint(path, cfg, shardings)

@@ -26,40 +26,59 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None,
                            retries: int = 5,
-                           retry_delay: float = 10.0) -> None:
+                           retry_delay: float = 10.0) -> bool:
     """`jax.distributed.initialize` with coordinator retry.
 
-    No-ops when the process is already initialized or when running
-    single-process with no coordinator configured (env vars absent).
+    Returns True when multi-host is active afterwards. Always ATTEMPTS
+    initialization: on Cloud TPU slices jax auto-detects the cluster
+    from the TPU runtime with no env vars set, so an env-var guard here
+    would silently disable pods (every host would believe it is process
+    0 of 1 and corrupt shared outputs). When nothing is configured and
+    no cluster is detected, jax raises the 'coordinator_address should
+    be defined' ValueError — that is the normal single-process exit.
+    COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS env vars are forwarded
+    explicitly (jax itself only reads the latter).
     """
-    # Env guard FIRST, touching no jax state: calling jax.process_count()
-    # (or any devices() path) initializes the local XLA backend, after
-    # which jax.distributed.initialize unconditionally raises — the guard
-    # itself would make multi-host init impossible.
-    if coordinator_address is None \
-            and 'JAX_COORDINATOR_ADDRESS' not in os.environ \
-            and 'COORDINATOR_ADDRESS' not in os.environ:
-        return                      # single-process run
+    coordinator_address = (coordinator_address
+                           or os.environ.get('JAX_COORDINATOR_ADDRESS')
+                           or os.environ.get('COORDINATOR_ADDRESS'))
+    explicit = (coordinator_address is not None
+                or num_processes is not None)
+    # auto-detect only when the environment hints at a managed cluster:
+    # unconditional probing would stall single-machine CLI startup on
+    # metadata queries (this box has zero egress), while requiring env
+    # vars outright would break Cloud TPU pods (which set none of the
+    # JAX_* ones — they carry the runtime hints below instead)
+    hints = ('TPU_WORKER_HOSTNAMES', 'TPU_WORKER_ID',
+             'MEGASCALE_COORDINATOR_ADDRESS', 'CLOUD_TPU_TASK_ID',
+             'SLURM_STEP_NODELIST', 'OMPI_MCA_orte_hnp_uri')
+    if not explicit and not any(h in os.environ for h in hints):
+        return False                # single-process run
     last_err: Optional[Exception] = None
     for attempt in range(retries):
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
-            return
+            return jax.process_count() > 1
+        except ValueError as e:
+            if 'coordinator_address' in str(e) and not explicit:
+                return False        # no cluster configured or detected
+            raise                   # explicit-but-incomplete config:
+                                    # unretryable, surface it immediately
         except RuntimeError as e:
             msg = str(e)
-            if 'already initialized' in msg:
-                return              # idempotent re-entry
-            if 'backends are initialized' in msg or \
-                    'backends_are_initialized' in msg:
+            # message texts as of jax 0.9 (jax/_src/distributed.py)
+            if 'only be called once' in msg or 'already initialized' in msg:
+                return jax.process_count() > 1    # idempotent re-entry
+            if 'before any JAX' in msg or 'backend' in msg:
                 raise RuntimeError(
                     'initialize_distributed must run before any other jax '
                     'call (the XLA backend is already initialized)') from e
-            last_err = e
-            time.sleep(retry_delay * (attempt + 1))
-        except Exception as e:                        # noqa: BLE001
             last_err = e            # coordinator not up yet etc. — retry
+        except Exception as e:                        # noqa: BLE001
+            last_err = e
+        if attempt < retries - 1:
             time.sleep(retry_delay * (attempt + 1))
     raise RuntimeError(
         f'jax.distributed.initialize failed after {retries} attempts'
@@ -101,27 +120,51 @@ def allgather_to_all_hosts(x):
 # ---------------------------------------------------------------------------
 
 def write_shard_manifest(work_dir: str, names: Sequence[str],
-                         num_shards: int) -> List[List[str]]:
-    """Split a sequence-name list into shards; persist manifest.json."""
+                         num_shards: int,
+                         fingerprint: Optional[str] = None
+                         ) -> List[List[str]]:
+    """Split a sequence-name list into shards; persist manifest.json.
+
+    fingerprint: content hash of the inputs (score_fasta_sharded hashes
+    the sequences) — done-markers are only valid for the exact inputs
+    they were written under, and names alone cannot detect an edited
+    FASTA with unchanged headers.
+    """
     shards = [list(names[i::num_shards]) for i in range(num_shards)]
     path = Path(work_dir)
     path.mkdir(parents=True, exist_ok=True)
     manifest = path / 'manifest.json'
+    meta = {'num_shards': num_shards, 'shards': shards,
+            'fingerprint': fingerprint}
+    if not manifest.exists() and jax.process_index() == 0:
+        # atomic publish: a reader can never observe a partial file
+        tmp = path / f'.manifest.{os.getpid()}.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(meta, f)
+        os.replace(tmp, manifest)
+    if not manifest.exists():
+        # non-zero host on a shared filesystem: wait briefly for host 0's
+        # publish (the rename above is atomic, so existence => complete)
+        for _ in range(50):
+            if manifest.exists():
+                break
+            time.sleep(0.2)
     if manifest.exists():
-        # resume: the done-markers are only valid for the sharding they
-        # were written under — refuse to silently remix shard membership
+        # resume (or freshly published): the done-markers are only valid
+        # for the sharding/inputs they were written under — refuse to
+        # silently remix shard membership or merge stale scores
         with open(manifest) as f:
             prev = json.load(f)
-        if prev.get('num_shards') != num_shards or \
-                prev.get('shards') != shards:
+        if (prev.get('num_shards') != num_shards
+                or prev.get('shards') != shards
+                or (fingerprint is not None
+                    and prev.get('fingerprint') is not None
+                    and prev.get('fingerprint') != fingerprint)):
             raise ValueError(
-                f'{manifest} holds a different sharding (num_shards='
-                f'{prev.get("num_shards")} vs {num_shards}, or changed '
-                'inputs); clear the work_dir or rerun with the original '
-                'settings')
-    elif jax.process_index() == 0:
-        with open(manifest, 'w') as f:
-            json.dump({'num_shards': num_shards, 'shards': shards}, f)
+                f'{manifest} holds a different sharding or input '
+                f'fingerprint (num_shards={prev.get("num_shards")} vs '
+                f'{num_shards}); the inputs or settings changed — clear '
+                'the work_dir or rerun with the originals')
     return shards
 
 
@@ -150,6 +193,7 @@ def score_fasta_sharded(
     Returns the merged CSV path on process 0, None elsewhere.
     """
     import csv
+    import hashlib
 
     from evo_tpu.io.fasta import read_fasta
 
@@ -160,7 +204,12 @@ def score_fasta_sharded(
     # name->seq dict would silently score the last duplicate for all
     idx_shards = [list(range(len(names)))[i::num_shards]
                   for i in range(num_shards)]
-    write_shard_manifest(work_dir, names, num_shards)
+    h = hashlib.sha1()
+    for n, s in zip(names, seqs):
+        h.update(n.encode()); h.update(b'\0')
+        h.update(s.encode()); h.update(b'\0')
+    write_shard_manifest(work_dir, names, num_shards,
+                         fingerprint=h.hexdigest())
     my_shards = split_for_process(list(range(num_shards)))
 
     for shard_idx in my_shards:
@@ -170,12 +219,12 @@ def score_fasta_sharded(
         out_path = Path(work_dir) / f'shard_{shard_idx}.csv'
         with open(out_path, 'w', newline='') as f:
             writer = csv.writer(f)
-            writer.writerow(['name', 'score'])
+            writer.writerow(['index', 'name', 'score'])
             for i in range(0, len(idxs), batch_size):
                 batch_idx = idxs[i:i + batch_size]
                 scores = score_fn([seqs[j] for j in batch_idx])
                 for j, s in zip(batch_idx, scores):
-                    writer.writerow([names[j], s])
+                    writer.writerow([j, names[j], s])
         mark_shard_done(work_dir, shard_idx)
 
     # barrier so host 0 merges only after everyone finished
@@ -184,20 +233,23 @@ def score_fasta_sharded(
         multihost_utils.sync_global_devices('score_fasta_sharded_done')
     if jax.process_index() != 0:
         return None
+    rows = []
+    for shard_idx in range(num_shards):
+        shard_csv = Path(work_dir) / f'shard_{shard_idx}.csv'
+        if not shard_csv.exists():
+            # all shards finished (barrier above) — a missing file
+            # means work_dir is not a shared filesystem
+            raise FileNotFoundError(
+                f'{shard_csv} missing after the completion barrier: '
+                'work_dir must be on a filesystem shared by all hosts')
+        with open(shard_csv) as f:
+            reader = csv.reader(f)
+            next(reader, None)
+            rows.extend(reader)
+    rows.sort(key=lambda r: int(r[0]))     # restore input order
     merged = Path(work_dir) / 'scores.csv'
     with open(merged, 'w', newline='') as out:
         writer = csv.writer(out)
-        writer.writerow(['name', 'score'])
-        for shard_idx in range(num_shards):
-            shard_csv = Path(work_dir) / f'shard_{shard_idx}.csv'
-            if not shard_csv.exists():
-                # all shards finished (barrier above) — a missing file
-                # means work_dir is not a shared filesystem
-                raise FileNotFoundError(
-                    f'{shard_csv} missing after the completion barrier: '
-                    'work_dir must be on a filesystem shared by all hosts')
-            with open(shard_csv) as f:
-                reader = csv.reader(f)
-                next(reader, None)
-                writer.writerows(reader)
+        writer.writerow(['index', 'name', 'score'])
+        writer.writerows(rows)
     return str(merged)

@@ -105,6 +105,13 @@ def param_specs(cfg: ModelConfig) -> Any:
         if cfg.weight_quant == 'int8':
             from evo_tpu.quant import quantize_params
             params = quantize_params(params)
+        elif cfg.weight_quant == 'int4':
+            # int4 packs/flattens the TP axes and is single-chip only
+            # (models.py rejects int4+mesh); fail here too rather than
+            # silently returning the unquantized layout
+            raise NotImplementedError(
+                'param_specs: weight_quant int4 has no sharded layout '
+                '(single-chip serving mode, evo_tpu/ops/pallas_int4.py)')
         return params
 
     shapes = jax.eval_shape(build, jax.random.PRNGKey(0))

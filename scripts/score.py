@@ -66,8 +66,25 @@ def main():
                              'bf16 keeps the reference-parity numerics.')
     args = parser.parse_args()
 
+    # multi-host first, BEFORE any other jax call: on a TPU slice this is
+    # what gives each worker its identity (scripts/score_pod.sh runs this
+    # same command on every worker); single-machine runs return False fast
+    from evo_tpu.parallel.distributed import initialize_distributed
+    multihost = initialize_distributed()
+
     mesh = None
-    if args.dp != 1 or args.cp != 1 or args.tp not in (None, 1):
+    if multihost:
+        # per-host model replica: TP over this host's local chips; the
+        # data-parallel axis is the HOSTS themselves (score_fasta_sharded
+        # below), not a mesh axis — per-host batches never enter a
+        # cross-host jit
+        from evo_tpu.parallel.mesh import local_mesh
+        import jax as _jax
+        tp = args.tp if args.tp not in (None, 1) \
+            else len(_jax.local_devices())
+        if tp > 1 or args.cp != 1:
+            mesh = local_mesh(dp=1, tp=tp, cp=args.cp)
+    elif args.dp != 1 or args.cp != 1 or args.tp not in (None, 1):
         from evo_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp=args.dp, tp=args.tp, cp=args.cp)
 
@@ -85,6 +102,40 @@ def main():
 
     names, seqs = read_fasta(args.input_fasta)
     print(f'Scoring {len(seqs)} sequences...', flush=True)
+
+    if multihost:
+        # pod path: hosts split the FASTA (shard manifests + done-markers
+        # make re-runs resume); host 0 writes the merged TSV in input
+        # order, other workers exit quietly
+        import csv
+
+        from evo_tpu.parallel.distributed import score_fasta_sharded
+
+        def score_batch(batch):
+            if args.segment_len:
+                from evo_tpu.scoring import score_sequences_segmented
+                return score_sequences_segmented(
+                    batch, evo.model, evo.tokenizer,
+                    segment_len=args.segment_len,
+                    reduce_method=args.reduce_method)
+            from evo_tpu.scoring import score_sequences
+            return score_sequences(batch, evo.model, evo.tokenizer,
+                                   reduce_method=args.reduce_method)
+
+        merged = score_fasta_sharded(
+            args.input_fasta, args.output_tsv + '.work', score_batch,
+            batch_size=args.batch_size)
+        if merged is None:
+            return None, None
+        with open(merged) as f:
+            rows = list(csv.reader(f))[1:]       # input order
+        scores = [float(r[2]) for r in rows]
+        with open(args.output_tsv, 'w') as f:
+            f.write('seqs\tscores\n')
+            for seq, score in zip(seqs, scores):
+                f.write(f'{seq}\t{score}\n')
+        print(f'Wrote {args.output_tsv}')
+        return seqs, scores
 
     if args.segment_len:
         from evo_tpu.scoring import score_sequences_segmented

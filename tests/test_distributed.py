@@ -68,8 +68,9 @@ def test_sharded_scoring_duplicate_names(tmp_path):
     import csv
     with open(out) as f:
         rows = list(csv.reader(f))[1:]
-    scores = sorted((n, float(s)) for n, s in rows)
-    assert scores == [('a', 2.0), ('a', 4.0), ('b', 6.0)]
+    # merged rows are in original input order (index column)
+    assert [(i, n, float(s)) for i, n, s in rows] == [
+        ('0', 'a', 4.0), ('1', 'a', 2.0), ('2', 'b', 6.0)]
 
 
 def test_sharded_scoring_rejects_resharded_resume(tmp_path):
