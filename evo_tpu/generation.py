@@ -48,12 +48,12 @@ from evo_tpu.tokenizer import CharLevelTokenizer
 @functools.partial(
     jax.jit,
     static_argnames=('cfg', 'num_tokens', 'num_forced', 'top_k', 'top_p',
-                     'temperature', 'resume'),
+                     'temperature', 'resume', 'mesh'),
     donate_argnames=('cache',))
 def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
                       cfg: ModelConfig, num_tokens: int, num_forced: int,
                       top_k: int, top_p: float, temperature: float,
-                      resume: bool = False):
+                      resume: bool = False, mesh=None):
     """prompt_ids: (B, P); forced_ids: (B, num_forced) (may be (B, 0)).
 
     Returns (generation (B, num_tokens), scores (B, num_tokens, V), cache).
@@ -61,7 +61,7 @@ def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
     contract, `evo/generation.py:97-103, 183`).
     """
     logits_pre, cache = model_lib.prefill(params, cfg, prompt_ids, cache,
-                                          resume=resume)
+                                          mesh=mesh, resume=resume)
     last = logits_pre[:, -1]
     total = num_forced + num_tokens
 
@@ -93,7 +93,7 @@ def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
     return generation, scores, cache
 
 
-def _grow_cache(cache, cfg: ModelConfig, needed_len: int):
+def _grow_cache(cache, needed_len: int):
     """Extend KV time buffers so a resumed generation fits.
 
     FIR/modal Hyena state is O(1) in sequence length, so only the
@@ -169,6 +169,15 @@ class Generator:
         attends over the KV buffer (Pallas buffer-flash on TPU).
         """
         del cached_generation  # decode is always cached on TPU
+        if num_tokens < 1:
+            raise ValueError(
+                'num_tokens must be >= 1 (the program always emits the '
+                'sampled next token); for prefill-only use '
+                'model(ids, inference_params_dict=cache)')
+        if force_prompt_threshold is not None:
+            # 0 would slice an empty prefill prompt (the engine needs at
+            # least one prefilled token); the reference never passes < 1
+            force_prompt_threshold = max(1, force_prompt_threshold)
         if input_ids is None:
             input_ids = self.tokenizer.tokenize(input_string)[None]
         x = jnp.asarray(np.asarray(input_ids), dtype=jnp.int32)
@@ -199,7 +208,7 @@ class Generator:
             offset = int(np.asarray(cache['offset']))
             needed = offset + int(prompt.shape[1]) + num_forced \
                 + int(num_tokens)
-            cache = _grow_cache(cache, cfg, needed)
+            cache = _grow_cache(cache, needed)
         else:
             # _aligned_cache_len: 1024-aligned KV buffers make the Pallas
             # buffer-flash kernel eligible for the segmented prefill below
@@ -217,10 +226,12 @@ class Generator:
             P = int(prompt.shape[1])
             head_len = ((P - 1) // prefill_segment_len) \
                 * prefill_segment_len
+            user_resume = resume
             for s in range(0, head_len, prefill_segment_len):
                 _, cache = self.model(
                     prompt[:, s:s + prefill_segment_len],
-                    inference_params_dict=cache, donate_cache=True)
+                    inference_params_dict=cache, donate_cache=True,
+                    resume=user_resume or s > 0)
             prompt = prompt[:, head_len:]
             resume = True
 
@@ -236,7 +247,8 @@ class Generator:
             self.model.params, prompt, forced, cache, rng,
             cfg=cfg, num_tokens=int(num_tokens), num_forced=num_forced,
             top_k=int(self.top_k), top_p=float(self.top_p),
-            temperature=float(self.temperature), resume=resume)
+            temperature=float(self.temperature), resume=resume,
+            mesh=getattr(self.model, 'mesh', None))
         if verbose:
             from evo_tpu.runtime import device_memory_report
             print(f'Memory after generation: {device_memory_report()}',

@@ -104,6 +104,10 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
             shards *= mesh.shape[a]
     if (cfg.hyena_fused_mixer and _pallas_enabled(cfg)
             and cfg.hyena_conv_backend == 'matmul' and C % shards == 0
+            # short prefills (resume tails) can be narrower than the FIR
+            # window: the fused kernel would return a truncated fir state
+            # (width min(L, K-1)), corrupting the next decode step
+            and L >= cfg.short_filter_length
             and hyena_mixer_supported((B, 3, C // shards, L),
                                       cfg.hyena_matmul_chunk)):
         st = (state.fir, state.iir) if state is not None else None

@@ -88,13 +88,18 @@ class EvoModel:
     # -- engine call contract ------------------------------------------------
 
     def __call__(self, input_ids, inference_params_dict=None,
-                 donate_cache: bool = False):
+                 donate_cache: bool = False, resume=None):
         """donate_cache=True lets XLA reuse the passed cache's buffers
         (the caller must drop its reference, keeping only the returned
         cache) — required headroom for 131k segmented prefill, where an
         un-donated KV copy alone exceeds the chip. Off by default: the
         reference contract allows replaying one inference_params_dict
-        across calls (evo/generation.py:105-114)."""
+        across calls (evo/generation.py:105-114).
+
+        resume: continue from a non-empty cache. None (default) derives
+        it from cache['offset'] — a blocking host readback; segmented
+        loops that know the answer pass it explicitly so async dispatch
+        can pipeline their chunks."""
         ids = jnp.asarray(np.asarray(input_ids), dtype=jnp.int32)
         if ids.ndim == 1:
             ids = ids[None]
@@ -107,7 +112,8 @@ class EvoModel:
         # donate_cache honors donation even at length 1 by taking the
         # donating PREFILL (the decode-step jit is not donated and would
         # copy the full KV buffers — 6.4 GB at 131k)
-        resume = int(np.asarray(inference_params_dict['offset'])) > 0
+        if resume is None:
+            resume = int(np.asarray(inference_params_dict['offset'])) > 0
         fn = self._prefill_donate if donate_cache else self._prefill
         return fn(self.params, ids, inference_params_dict, resume=resume)
 

@@ -242,9 +242,11 @@ def score_sequences_segmented(
             seg = jnp.asarray(ids[:, s:e])
             # donate_cache: this loop owns `cache` and replaces it every
             # segment; donation keeps ONE set of KV buffers live (6.4 GB
-            # at 131k — an un-donated copy cannot fit next to the weights)
+            # at 131k — an un-donated copy cannot fit next to the weights).
+            # resume passed explicitly: deriving it reads cache['offset']
+            # back to host, serializing the segment pipeline
             logits, cache = model(seg, inference_params_dict=cache,
-                                  donate_cache=True)
+                                  donate_cache=True, resume=s > 0)
             # position t's logits predict token t+1: within the segment
             # logits[:, :-1] pairs with seg[:, 1:]; the segment's first
             # token is predicted by the PREVIOUS segment's last logit
@@ -286,7 +288,7 @@ def positional_entropies_segmented(
         for s, e in zip(bounds[:-1], bounds[1:]):
             seg = jnp.asarray(ids[:, s:e])
             logits, cache = model(seg, inference_params_dict=cache,
-                                  donate_cache=True)
+                                  donate_cache=True, resume=s > 0)
             logp = _log_softmax(logits)
             ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
             pieces.append(np.asarray(ent, np.float32))

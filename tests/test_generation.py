@@ -192,7 +192,7 @@ def test_grow_cache_copies_all_leaves(setup):
     model, _ = setup
     cfg = model.config
     cache = model_lib.init_cache(cfg, 1, 8)
-    grown = _grow_cache(cache, cfg, 16)
+    grown = _grow_cache(cache, 16)
     for a, b in zip(jax.tree_util.tree_leaves(cache),
                     jax.tree_util.tree_leaves(grown)):
         assert a is not b
