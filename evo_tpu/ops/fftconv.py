@@ -182,29 +182,11 @@ def fft_causal_conv_chunked(u: jax.Array, poles: jax.Array,
             [jnp.zeros((B, D, pad), jnp.float32), u32], axis=-1)
     K = (L + pad) // C
 
-    logmag, theta = _pole_log(poles.astype(jnp.float32))
-    rr, ri = residues[..., 0], residues[..., 1]
-
-    # first C filter taps (shared by every chunk)
-    h_local = materialize_filter(poles, residues, C)          # (D, C)
-
-    # p^(t+1) for t in [0, C): decay applied to the incoming state
-    t1 = jnp.arange(1, C + 1, dtype=jnp.float32)[None, None, :]  # (1,1,C)
-    dec_mag = jnp.exp(t1 * logmag[..., None])                  # (D, S, C)
-    dec_r = dec_mag * jnp.cos(t1 * theta[..., None])
-    dec_i = dec_mag * jnp.sin(t1 * theta[..., None])
-    # Re(R p^(t+1)) tabulated: (D, S, C) -> contribution = state . table
-    tab_r = rr[..., None] * dec_r - ri[..., None] * dec_i      # (D, S, C)
-    tab_i = rr[..., None] * dec_i + ri[..., None] * dec_r
-
-    # state-injection tables (as in modal_prefill_state)
-    e = jnp.arange(C - 1, -1, -1, dtype=jnp.float32)[None, None, :]
-    pw_mag = jnp.exp(e * logmag[..., None])
-    pw_r = pw_mag * jnp.cos(e * theta[..., None])
-    pw_i = pw_mag * jnp.sin(e * theta[..., None])
-    pc_mag = jnp.exp(C * logmag)
-    pc_r = pc_mag * jnp.cos(C * theta)
-    pc_i = pc_mag * jnp.sin(C * theta)
+    # all per-layer tables from ONE log-doubling power range
+    # (_conv_chunk_tables: the direct per-element transcendental form
+    # measured ~5 ms/layer at 7B)
+    h_local, pw_r, pw_i, tab_r, tab_i, pc_r, pc_i = \
+        _conv_chunk_tables(poles, residues, C)
 
     if state is None:
         sr0 = jnp.zeros((B, D, S), jnp.float32)
@@ -305,6 +287,7 @@ def _conv_chunk_tables(poles, residues, C: int):
       h_local (D, C)      first C filter taps   sum_s Re(R p^t)
       pw_r/pw_i (D, S, C) injection weights     p^(C-1-j)   (range reversed)
       tab_r/tab_i (D,S,C) state decay           R p^(t+1)   (p * range, R-folded)
+      pc_r/pc_i (D, S)    chunk decay           p^C         (= dec[.., -1])
     """
     p32 = poles.astype(jnp.float32)
     logmag, theta = _pole_log(p32)
@@ -321,7 +304,7 @@ def _conv_chunk_tables(poles, residues, C: int):
     dec_i = p1r * rng_i + p1i * rng_r
     tab_r = rr[..., None] * dec_r - ri[..., None] * dec_i
     tab_i = rr[..., None] * dec_i + ri[..., None] * dec_r
-    return h_local, pw_r, pw_i, tab_r, tab_i
+    return h_local, pw_r, pw_i, tab_r, tab_i, dec_r[..., -1], dec_i[..., -1]
 
 
 def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
@@ -381,7 +364,7 @@ def conv_matmul_chunked(u: jax.Array, poles: jax.Array, residues: jax.Array,
     # (input-independent) taps to this layer's activations so XLA cannot
     # hoist all 29 layers' (D, C, C) Toeplitz tensors (~270 MB each at 7B)
     # to program start, which would OOM next to the resident weights.
-    h_local, pw_r, pw_i, tab_r, tab_i = \
+    h_local, pw_r, pw_i, tab_r, tab_i, _, _ = \
         _conv_chunk_tables(poles, residues, C)
     h_local, uc_in = jax.lax.optimization_barrier((h_local, uc_in))
     toep = _toeplitz_from_taps(h_local, C, d_skip)            # (D, C, C)
@@ -555,15 +538,14 @@ def modal_prefill_state(u: jax.Array, poles: jax.Array,
     K = L // C
 
     logmag, theta = _pole_log(poles.astype(jnp.float32))
-    # p^(C-1-j) for j in [0, C) -> exponent e = C-1-j in [C-1 .. 0]
-    e = jnp.arange(C - 1, -1, -1, dtype=jnp.float32)[None, None, :]  # (1,1,C)
-    pw_mag = jnp.exp(e * logmag[..., None])            # (D, S, C)
-    pw_r = pw_mag * jnp.cos(e * theta[..., None])
-    pw_i = pw_mag * jnp.sin(e * theta[..., None])
-    # p^C
-    pc_mag = jnp.exp(C * logmag)
-    pc_r = pc_mag * jnp.cos(C * theta)                 # (D, S)
-    pc_i = pc_mag * jnp.sin(C * theta)
+    # p^(C-1-j) injection weights and p^C from ONE log-doubling range
+    rng_r, rng_i = _pole_pow_range(logmag, theta, C)
+    pw_r, pw_i = rng_r[..., ::-1], rng_i[..., ::-1]     # (D, S, C)
+    p1m = jnp.exp(logmag)
+    pc_r = p1m * jnp.cos(theta) * rng_r[..., -1] \
+        - p1m * jnp.sin(theta) * rng_i[..., -1]         # p * p^(C-1)
+    pc_i = p1m * jnp.cos(theta) * rng_i[..., -1] \
+        + p1m * jnp.sin(theta) * rng_r[..., -1]
 
     u32 = u.astype(jnp.float32).reshape(B, D, K, C)
 

@@ -233,7 +233,7 @@ def hyena_mixer_pallas(z, fir_w, fir_b, poles, residues, d_skip, *,
     # ---- host-side tables (all float32; log-doubling power ranges) ----
     p32 = poles.astype(jnp.float32)
     logmag, theta = fftconv._pole_log(p32)
-    h_local, pw_r, pw_i, tab_r, tab_i = \
+    h_local, pw_r, pw_i, tab_r, tab_i, _, _ = \
         fftconv._conv_chunk_tables(poles, residues, Ct)
     toep = fftconv._toeplitz_from_taps(h_local, Ct, d_skip)   # (C, Ct, Ct)
     pcq_r, pcq_i = fftconv._pole_pow_range(

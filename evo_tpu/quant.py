@@ -223,6 +223,19 @@ def quantize_params(params: Any, free_source: bool = False,
     def visit(path, leaf):
         keys = [getattr(k, 'key', None) for k in path]
         name = keys[-1]
+        if name in ('q', 's', 'q4', 's4') and any(
+                k in _QUANT_AXES for k in keys if k):
+            # already-quantized leaf: idempotent for the SAME mode, loud
+            # for a different one (an int8 tree passed with mode='int4'
+            # would otherwise silently keep 2x the requested bytes —
+            # an undiagnosable OOM on the memory-fit workloads)
+            want = ('q4', 's4') if mode == 'int4' else ('q', 's')
+            if name not in want:
+                raise ValueError(
+                    f'params already quantized in a different mode (found '
+                    f'{name!r} leaf, requested {mode!r}); reload the bf16 '
+                    'tree before switching quantization modes')
+            return leaf
         if name not in _QUANT_AXES:
             return leaf
         stacked = 'stack' in keys

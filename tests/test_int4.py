@@ -138,9 +138,17 @@ def test_int4_dot_multi_axis_output_and_nc2():
 
     wo = jax.random.normal(ks[2], (H, Dh, D)) * 0.05
     qo = quantize_weight_int4(wo, 2)
-    yo = int4_dot(jax.random.normal(ks[1], (2, 5, H, Dh), jnp.bfloat16),
-                  qo, nc=2)
+    xo = jax.random.normal(ks[1], (2, 5, H, Dh), jnp.bfloat16)
+    yo = int4_dot(xo, qo, nc=2)
     assert yo.shape == (2, 5, D)
+    # VALUE check on the padded-contraction branch (K=H*Dh=128 -> Kp=256:
+    # zero-pad rows interleave with real rows across the lo/hi byte
+    # halves — a pairing regression here would corrupt every attention
+    # out-projection under int4 while shape checks stay green)
+    ref_o = jnp.einsum('blhe,hed->bld', xo.astype(jnp.float32),
+                       wo.astype(jnp.float32))
+    err_o = float(jnp.mean(jnp.abs(yo.astype(jnp.float32) - ref_o)))
+    assert err_o < 0.15 * float(jnp.mean(jnp.abs(ref_o)))
 
 
 def test_qdot_dispatches_int4():
@@ -246,3 +254,17 @@ def test_int4_requires_single_chip():
                 attn_layer_idxs=(1,), hyena_layer_idxs=(0,),
                 num_attention_heads=4, state_size=4, inner_mlp_size=256,
                 weight_quant='int4', use_pallas='never'))
+
+
+def test_quantize_params_rejects_mode_switch():
+    """An already-int8 tree passed with mode='int4' must raise (silent
+    no-op would serve 2x the requested bytes)."""
+    cfg = _tiny_cfg()
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    p8 = quantize_params(params, mode='int8')
+    with pytest.raises(ValueError, match='different mode'):
+        quantize_params(p8, mode='int4')
+    # same-mode re-quantization stays idempotent
+    again = quantize_params(p8, mode='int8')
+    assert jax.tree_util.tree_structure(again) \
+        == jax.tree_util.tree_structure(p8)
