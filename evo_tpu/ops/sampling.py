@@ -4,7 +4,7 @@ Reference contract: `stripedhyena.sample.sample(last_logits, top_k, top_p,
 temperature) -> token ids` — the only sampling primitive the application
 layer uses (`evo/generation.py:7, 162-167`).
 
-Everything here is jit-safe with static (top_k,) so the whole AR decode loop
+Everything here is jit-safe with STATIC top_k, top_p, and temperature (Python branches select the filter composition; traced values raise) so the whole AR decode loop
 — forward step + filter + categorical draw — compiles into one XLA program
 (no host round-trip per token, unlike the reference's per-step torch
 multinomial).

@@ -56,7 +56,7 @@ def trace(trace_dir: Optional[str]):
 def device_memory_report() -> str:
     """One line per device: bytes in use / limit (when the backend reports)."""
     lines = []
-    for d in jax.devices():
+    for d in jax.local_devices():
         try:
             stats = d.memory_stats() or {}
         except Exception:       # backends without memory_stats (e.g. CPU)

@@ -7,10 +7,14 @@ and composes with the `parallel` shardings: under a (dp, tp) mesh, batches
 shard on dp, weights/optimizer state on tp (optimizer state inherits the
 param shardings automatically because optax states mirror the param tree).
 
-Precision: forward/backward in `cfg.compute_dtype` (bf16) with fp32 loss and
-fp32 poles/residues; optimizer state fp32 via `optax` defaults on the fp32
-master copy is NOT used — params are kept in param_dtype and updates applied
-in fp32 then cast, which is adequate for fine-tuning-scale runs.
+Precision: the TrainState holds FP32 MASTER params (mixed-precision
+training's standard recipe); the forward/backward runs on a cast-down
+copy in the original param dtypes, so grads, both Adam moments, and the
+parameter update are all fp32. Without masters, bf16 params at
+fine-tuning learning rates (~1e-4) round most updates to exactly zero
+(ulp(w)/2 = |w| * 2^-9 > 1e-4 for any |w| > ~0.05 — every norm gain and
+most projection weights), silently freezing those tensors.
+`serving_params` casts a trained state back to the serving dtypes.
 """
 
 from __future__ import annotations
@@ -49,26 +53,53 @@ def next_token_loss(params, cfg: ModelConfig, ids: jax.Array,
 
 
 class TrainState(NamedTuple):
-    params: Any
+    params: Any        # fp32 master copies (see module docstring)
     opt_state: Any
     step: jax.Array
+
+
+def _decay_mask(params) -> Any:
+    """AdamW decay mask: skip 1-D tensors (biases, norm gains) and the
+    pretrained modal poles/residues — decaying the SSM dynamics toward
+    zero corrupts the filters even with no gradient signal."""
+    def keep(path, leaf):
+        name = getattr(path[-1], 'key', None)
+        return leaf.ndim >= 2 and name not in ('poles', 'residues')
+    return jax.tree_util.tree_map_with_path(keep, params)
 
 
 def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.01,
                    b1: float = 0.9, b2: float = 0.95,
                    grad_clip: float = 1.0) -> optax.GradientTransformation:
-    """AdamW with global-norm clipping; fp32 moments regardless of param dtype."""
+    """AdamW with global-norm clipping. Both moments are fp32 because the
+    train step feeds fp32 master params/grads (optax stores nu in the
+    grad dtype — mu_dtype alone would leave an 8-mantissa-bit second
+    moment under bf16). Weight decay is masked to >=2-D tensors
+    excluding poles/residues (standard AdamW practice)."""
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.scale_by_adam(b1=b1, b2=b2, mu_dtype=jnp.float32),
-        optax.add_decayed_weights(weight_decay),
+        optax.add_decayed_weights(weight_decay, mask=_decay_mask),
         optax.scale(-learning_rate),
     )
 
 
+def serving_params(state: 'TrainState', dtype_tree) -> Any:
+    """Cast fp32 masters back to the serving dtypes (dtype_tree: the
+    original param tree or a tree of dtypes, e.g. from init_params)."""
+    return jax.tree_util.tree_map(
+        lambda p, ref: p.astype(getattr(ref, 'dtype', ref)),
+        state.params, dtype_tree)
+
+
 def init_train_state(params, optimizer: optax.GradientTransformation
                      ) -> TrainState:
-    return TrainState(params=params, opt_state=optimizer.init(params),
+    """Promotes `params` to fp32 masters (keep the original tree — or its
+    eval_shape — around for `serving_params` / the train step's
+    cast-down dtypes)."""
+    masters = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32), params)
+    return TrainState(params=masters, opt_state=optimizer.init(masters),
                       step=jnp.zeros((), jnp.int32))
 
 
@@ -79,20 +110,29 @@ def make_train_step(cfg: ModelConfig,
                                   Tuple[TrainState, jax.Array]]:
     """Build the (jittable, donation-ready) train step.
 
-    step(state, ids, loss_mask) -> (state', loss). Cast-up/cast-down around
-    the update keeps bf16 params stable; grads are computed in the forward
-    dtype and reduced fp32 by optax.
+    step(state, ids, loss_mask) -> (state', loss). The state holds fp32
+    masters; the forward/backward runs on a cast-down copy in the
+    configured param/compute dtypes (grads land fp32 w.r.t. the masters
+    through the cast), and the update applies exactly in fp32.
     """
+    pd = jnp.dtype(cfg.param_dtype)
+
+    def _down(path, p):
+        name = getattr(path[-1], 'key', None)
+        if name in ('poles', 'residues'):
+            return p                      # fp32 policy, models.py:148
+        return p.astype(pd)
+
     def train_step(state: TrainState, ids: jax.Array,
                    loss_mask: jax.Array) -> Tuple[TrainState, jax.Array]:
-        loss, grads = jax.value_and_grad(next_token_loss)(
-            state.params, cfg, ids, loss_mask, mesh)
+        def loss_fn(masters):
+            fwd = jax.tree_util.tree_map_with_path(_down, masters)
+            return next_token_loss(fwd, cfg, ids, loss_mask, mesh)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: (p.astype(jnp.float32)
-                          + u.astype(jnp.float32)).astype(p.dtype),
-            state.params, updates)
+        params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
     return train_step

@@ -83,3 +83,35 @@ def test_train_state_save_resume(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         s2.params, s2_ref.params)
+
+
+def test_bf16_params_train_at_small_lr():
+    """Review regression: without fp32 masters, bf16 params at lr=1e-4
+    rounded most updates to exactly zero (ulp(w)/2 > lr for |w| > 0.05)
+    and silently froze. Masters must make EVERY leaf move."""
+    import jax.numpy as jnp
+    from evo_tpu.config import tiny_config
+    from evo_tpu import model as model_lib
+    from evo_tpu.training import (init_train_state, make_optimizer,
+                                  make_train_step, serving_params)
+    cfg = tiny_config(param_dtype='bfloat16', compute_dtype='bfloat16')
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(learning_rate=1e-4)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(cfg, opt))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 512)
+    mask = jnp.ones_like(ids)
+    for _ in range(3):
+        state, loss = step(state, ids, mask)
+    # every master leaf is fp32 and moved (norm gains start at 1.0 — the
+    # exact leaves the rounding froze)
+    moved = jax.tree_util.tree_map(
+        lambda m, p: (m.dtype == jnp.float32
+                      and float(jnp.max(jnp.abs(
+                          m - p.astype(jnp.float32)))) > 0),
+        state.params, params)
+    assert all(jax.tree_util.tree_leaves(moved))
+    sp = serving_params(state, params)
+    dts = jax.tree_util.tree_map(lambda a, b: a.dtype == b.dtype,
+                                 sp, params)
+    assert all(jax.tree_util.tree_leaves(dts))
