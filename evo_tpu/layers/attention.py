@@ -44,8 +44,14 @@ def _qkv(p, cfg: ModelConfig, x):
 
 
 def _rotate(cfg: ModelConfig, q, k, offset):
+    """offset: scalar (shared across the batch) or (B,) per-row offsets
+    (continuous-batching decode, evo_tpu.serving)."""
     L = q.shape[1]
-    positions = jnp.arange(L, dtype=jnp.int32) + offset
+    pos = jnp.arange(L, dtype=jnp.int32)
+    if getattr(offset, 'ndim', 0) == 1:
+        positions = pos[None, :] + offset[:, None]     # (B, L)
+    else:
+        positions = pos + offset
     scaling = (cfg.rotary_emb_scaling_factor
                if cfg.use_interpolated_rotary_pos_emb else 1.0)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rotary_base,
@@ -257,20 +263,32 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
                 act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
 
 
+def _kv_write(buf, new, offset):
+    """Write new (B, L, H, Dh) into buf at `offset` along time: one
+    dynamic_update_slice for a shared scalar offset, a vmapped per-row
+    write (scatter) for (B,) per-slot offsets."""
+    if getattr(offset, 'ndim', 0) == 1:
+        return jax.vmap(
+            lambda b, n, o: jax.lax.dynamic_update_slice(b, n, (o, 0, 0))
+        )(buf, new.astype(buf.dtype), offset)
+    return jax.lax.dynamic_update_slice(
+        buf, new.astype(buf.dtype), (0, offset, 0, 0))
+
+
 def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
     """Single-token decode step.
 
     x_t: (B, 1, D); kv_buffers: ((B, T, H, Dh), ...); offset: tokens already
-    in the cache. Attends over positions [0, offset] with a static-shape mask.
+    in the cache — a shared scalar, or a (B,) vector of per-slot offsets
+    (continuous batching, evo_tpu.serving). Attends over positions
+    [0, offset] with a static-shape mask.
     """
     k_buf, v_buf = kv_buffers
     B, T, H, Dh = k_buf.shape
     q, k, v = _qkv(p, cfg, x_t)
     q, k = _rotate(cfg, q, k, offset)
-    k_buf = jax.lax.dynamic_update_slice(
-        k_buf, k.astype(k_buf.dtype), (0, offset, 0, 0))
-    v_buf = jax.lax.dynamic_update_slice(
-        v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
+    k_buf = _kv_write(k_buf, k, offset)
+    v_buf = _kv_write(v_buf, v, offset)
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
     # dots run in the buffer dtype with f32 accumulation: an .astype(f32)
     # on the buffers would MATERIALIZE an f32 KV copy (12.9 GB at 131k —
@@ -278,8 +296,12 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
     # bandwidth and breaking long-context memory. Softmax stays f32.
     s = jnp.einsum('bhd,bmhd->bhm', q[:, 0].astype(k_buf.dtype), k_buf,
                    preferred_element_type=jnp.float32) * scale
-    valid = jnp.arange(T) <= offset
-    s = jnp.where(valid[None, None], s, -jnp.inf)
+    if getattr(offset, 'ndim', 0) == 1:
+        valid = jnp.arange(T)[None, :] <= offset[:, None]    # (B, T)
+        s = jnp.where(valid[:, None, :], s, -jnp.inf)
+    else:
+        valid = jnp.arange(T) <= offset
+        s = jnp.where(valid[None, None], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1)
     y = jnp.einsum('bhm,bmhd->bhd', a.astype(v_buf.dtype), v_buf,
                    preferred_element_type=jnp.float32)

@@ -19,22 +19,27 @@ def rotary_cos_sin(positions: jax.Array, head_dim: int,
                    scaling_factor: float = 1.0):
     """cos/sin tables for given integer positions.
 
-    positions: (L,) int32. Returns (cos, sin) each (L, head_dim//2) float32.
+    positions: (L,) or (B, L) int32 (the batched form serves per-slot decode
+    offsets in evo_tpu.serving). Returns (cos, sin) each
+    (*positions.shape, head_dim//2) float32.
     """
     half = head_dim // 2
     inv_freq = 1.0 / (base ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     t = positions.astype(jnp.float32) / scaling_factor
-    freqs = jnp.outer(t, inv_freq)  # (L, half)
+    freqs = t[..., None] * inv_freq  # (*positions.shape, half)
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
 def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Apply NeoX-style rotary to x: (B, L, H, Dh); cos/sin: (L, Dh//2)."""
+    """Apply NeoX-style rotary to x: (B, L, H, Dh).
+
+    cos/sin: (L, Dh//2) shared across the batch, or (B, L, Dh//2) per-row
+    positions (continuous-batching decode)."""
     half = x.shape[-1] // 2
     x1 = x[..., :half].astype(jnp.float32)
     x2 = x[..., half:].astype(jnp.float32)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
     r1 = x1 * c - x2 * s
     r2 = x2 * c + x1 * s
     return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)

@@ -1,0 +1,350 @@
+"""Continuous-batching generation server.
+
+The reference serves generation one batch at a time: equal-length prompts
+run together, everything else falls back to B=1 loops
+(`/root/reference/evo/generation.py:238-253`), so a production stream of
+ragged, staggered requests leaves the chip mostly idle — 7B decode is
+weight-bandwidth-bound and B=1 runs at ~1/8 of the B=8 aggregate
+throughput (BASELINE.md decode rows). This module adds the serving layer
+the reference lacks: a fixed-slot continuous-batching scheduler where
+every request owns one row of a shared decode cache and new requests are
+prefilled into slots the moment one frees up.
+
+TPU-first design:
+
+  * **Static shapes everywhere.** One (max_slots, max_len) decode cache,
+    one compiled decode program; request raggedness lives in a per-slot
+    int32 offset vector (`model.decode_step` accepts scalar OR (B,)
+    offsets — per-row rotary positions, per-row KV-buffer writes, per-row
+    attention masks; layers/attention.py). No shape depends on the
+    request mix, so nothing recompiles as traffic changes.
+  * **Slot insertion is a device-side scatter.** A new request is
+    prefilled at B=1 (the model's normal chunked-conv prefill fills a
+    single-row cache), then `_insert_slot` writes that row into the batch
+    cache with `dynamic_update_slice` under jit — no host round-trip of
+    cache contents (the KV rows alone are ~100 MB at 7B/8k).
+  * **Decode runs in chunks of `steps_per_sync` steps under one
+    `lax.scan`** with the cache donated, so the host syncs (and fills
+    free slots) every K tokens instead of every token — on the tunneled
+    backend one dispatch costs ~28 ms (docs/performance.md), which would
+    otherwise dominate a ~19 ms/step decode. Slots that finish mid-chunk
+    discard at most K-1 excess tokens.
+  * **Per-slot sampling params.** Temperature is a (B,) vector (0 =
+    greedy, resolved with `jnp.where`, not control flow); top-k/top-p are
+    server-static (they select the compiled filter composition,
+    ops/sampling.py).
+
+Inactive slots keep stepping with stale state — their outputs are
+discarded and their cache rows are fully overwritten at the next insert,
+so correctness never depends on masking them out of the forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evo_tpu import model as model_lib
+from evo_tpu.config import ModelConfig
+from evo_tpu.layers.hyena import HyenaState
+from evo_tpu.ops.sampling import top_k_filter, top_p_filter
+
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+def _sample_slots(rng, logits, top_k: int, top_p: float, temps):
+    """Per-slot sampling: logits (B, V) f32ish, temps (B,) float32.
+
+    Rows with temps <= 0 take argmax (greedy); others sample from the
+    top-k/top-p-filtered temperature-scaled distribution. Returns
+    (tokens (B,) int32, logp (B,) float32) where logp is the log-prob of
+    the chosen token under the UNFILTERED distribution (the per-token
+    score a scoring pass would assign it).
+    """
+    logits32 = logits.astype(jnp.float32)
+    logp_full = jax.nn.log_softmax(logits32, axis=-1)
+    greedy = jnp.argmax(logits32, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    filt = top_k_filter(logits32 / t, top_k)
+    filt = top_p_filter(filt, top_p)
+    sampled = jax.random.categorical(rng, filt, axis=-1).astype(jnp.int32)
+    tok = jnp.where(temps <= 0.0, greedy, sampled)
+    logp = jnp.take_along_axis(logp_full, tok[:, None], axis=-1)[:, 0]
+    return tok, logp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('cfg', 'steps', 'top_k', 'top_p'),
+    donate_argnames=('cache',))
+def _decode_chunk(params, tokens, cache, rng, temps, *, cfg: ModelConfig,
+                  steps: int, top_k: int, top_p: float):
+    """Run `steps` decode+sample steps for the whole slot batch.
+
+    tokens: (B,) int32 — each slot's current token (already emitted or the
+    prompt's last sampled token). Returns (next tokens, cache, rng,
+    emitted (steps, B) int32, logps (steps, B) f32).
+    """
+    def body(carry, _):
+        toks, cache, rng = carry
+        logits, cache = model_lib.decode_step(params, cfg, toks, cache)
+        rng, sub = jax.random.split(rng)
+        nxt, logp = _sample_slots(sub, logits, top_k, top_p, temps)
+        return (nxt, cache, rng), (nxt, logp)
+
+    (tokens, cache, rng), (emitted, logps) = jax.lax.scan(
+        body, (tokens, cache, rng), None, length=steps)
+    return tokens, cache, rng, emitted, logps
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',),
+                   donate_argnames=('batch_cache',))
+def _insert_slot(batch_cache, single_cache, slot, tok0, temp0, tokens,
+                 temps, *, cfg: ModelConfig):
+    """Scatter a freshly-prefilled single-row cache into slot `slot`.
+
+    batch_cache: offset (B,), attn KV (B, T, ...), hyena state (n, B, ...).
+    single_cache: the B=1 twin (same T). slot is traced — one compiled
+    program serves every slot index.
+    """
+    new_layers = []
+    for (kind, _idxs), bl, sl in zip(cfg.layer_segments(),
+                                     batch_cache['layers'],
+                                     single_cache['layers']):
+        if kind == 'attn':
+            new_layers.append({
+                'k': jax.lax.dynamic_update_slice(
+                    bl['k'], sl['k'].astype(bl['k'].dtype), (slot, 0, 0, 0)),
+                'v': jax.lax.dynamic_update_slice(
+                    bl['v'], sl['v'].astype(bl['v'].dtype), (slot, 0, 0, 0)),
+            })
+        else:
+            new_layers.append(HyenaState(
+                fir=jax.lax.dynamic_update_slice(
+                    bl.fir, sl.fir.astype(bl.fir.dtype), (0, slot, 0, 0, 0)),
+                iir=jax.lax.dynamic_update_slice(
+                    bl.iir, sl.iir.astype(bl.iir.dtype), (0, slot, 0, 0, 0)),
+            ))
+    offset = jax.lax.dynamic_update_slice(
+        batch_cache['offset'],
+        single_cache['offset'].astype(jnp.int32)[None], (slot,))
+    tokens = jax.lax.dynamic_update_slice(tokens, tok0[None], (slot,))
+    temps = jax.lax.dynamic_update_slice(
+        temps, jnp.asarray(temp0, jnp.float32)[None], (slot,))
+    return ({'offset': offset, 'layers': new_layers}, tokens, temps)
+
+
+@functools.partial(jax.jit, static_argnames=('top_k', 'top_p'))
+def _first_token(rng, last_logits, top_k: int, top_p: float, temp):
+    """Sample the request's first token from the prefill's last logit."""
+    tok, logp = _sample_slots(rng, last_logits,
+                              top_k, top_p,
+                              jnp.asarray([temp], jnp.float32))
+    return tok[0], logp[0]
+
+
+# ---------------------------------------------------------------------------
+# Host-side scheduler
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    input_ids: np.ndarray            # (P,) int32
+    num_tokens: int
+    temperature: float
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    logps: List[float] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """One finished request: generated token ids, detokenized sequence
+    (when the server has a tokenizer), and the mean log-prob of the
+    generated tokens under the distributions they were sampled from."""
+    rid: int
+    token_ids: np.ndarray
+    sequence: Optional[str]
+    score: float
+
+
+class GenerationServer:
+    """Fixed-slot continuous-batching scheduler (module docstring).
+
+    model: an EvoModel (evo_tpu.models). max_len bounds prompt + generated
+    tokens per request. top_k/top_p are server-wide (static under jit);
+    temperature is per request.
+    """
+
+    def __init__(self, model, tokenizer=None, max_slots: int = 4,
+                 max_len: int = 512, top_k: int = 0, top_p: float = 1.0,
+                 steps_per_sync: int = 8, stop_token: Optional[int] = None,
+                 seed: int = 0):
+        if max_slots < 1:
+            raise ValueError('max_slots must be >= 1')
+        self.model = model
+        self.cfg: ModelConfig = model.config
+        self.tokenizer = tokenizer
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.steps_per_sync = max(1, int(steps_per_sync))
+        self.stop_token = stop_token
+
+        cache = model.initialize_inference_params(max_slots, max_len)
+        # scalar offset -> per-slot offset vector (decode_step broadcasts)
+        cache['offset'] = jnp.zeros((max_slots,), jnp.int32)
+        self._cache = cache
+        # reusable single-row prefill cache (donated through every prefill)
+        self._prefill_cache = model.initialize_inference_params(1, max_len)
+        self._tokens = jnp.zeros((max_slots,), jnp.int32)
+        self._temps = jnp.zeros((max_slots,), jnp.float32)
+        self._rng = jax.random.PRNGKey(seed)
+
+        self._queue: deque[_Request] = deque()
+        self._slots: List[Optional[_Request]] = [None] * max_slots
+        self._requests: Dict[int, _Request] = {}
+        self._results: Dict[int, GenerationResult] = {}
+        self._next_rid = 0
+
+    # -- submission ----------------------------------------------------------
+
+    def submit(self, prompt: Optional[str] = None, input_ids=None,
+               num_tokens: int = 32, temperature: float = 0.0) -> int:
+        """Queue a generation request; returns its request id."""
+        if input_ids is None:
+            if prompt is None:
+                raise ValueError('pass prompt= or input_ids=')
+            if self.tokenizer is None:
+                raise ValueError('string prompts need a tokenizer')
+            input_ids = self.tokenizer.tokenize(prompt)
+        ids = np.asarray(input_ids, dtype=np.int32).reshape(-1)
+        if ids.size == 0:
+            raise ValueError('empty prompt')
+        if num_tokens < 1:
+            raise ValueError('num_tokens must be >= 1')
+        if ids.size + num_tokens > self.max_len:
+            raise ValueError(
+                f'prompt ({ids.size}) + num_tokens ({num_tokens}) exceeds '
+                f'the server max_len ({self.max_len})')
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, ids, int(num_tokens), float(temperature))
+        self._requests[rid] = req
+        self._queue.append(req)
+        return rid
+
+    # -- scheduling ----------------------------------------------------------
+
+    def _fill_slots(self) -> None:
+        for slot in range(self.max_slots):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue.popleft()
+            self._slots[slot] = req
+            ids = jnp.asarray(req.input_ids)[None]
+            # fresh B=1 prefill into the reusable (donated) single-row
+            # cache; stale contents past the prompt stay masked out by
+            # the slot's offset
+            last_logits, self._prefill_cache = self.model(
+                ids, inference_params_dict=self._prefill_cache,
+                donate_cache=True, resume=False)
+            self._rng, sub = jax.random.split(self._rng)
+            tok0, logp0 = _first_token(sub, last_logits[:, -1],
+                                       self.top_k, self.top_p,
+                                       req.temperature)
+            self._cache, self._tokens, self._temps = _insert_slot(
+                self._cache, self._prefill_cache,
+                jnp.asarray(slot, jnp.int32), tok0, req.temperature,
+                self._tokens, self._temps, cfg=self.cfg)
+            self._record(req, int(tok0), float(logp0))
+
+    def _record(self, req: _Request, token: int, logp: float) -> None:
+        req.tokens.append(token)
+        req.logps.append(logp)
+        if (len(req.tokens) >= req.num_tokens
+                or (self.stop_token is not None
+                    and token == self.stop_token)):
+            req.done = True
+            ids = np.asarray(req.tokens, dtype=np.int32)
+            seq = (self.tokenizer.detokenize(ids.tolist())
+                   if self.tokenizer is not None else None)
+            self._results[req.rid] = GenerationResult(
+                rid=req.rid, token_ids=ids, sequence=seq,
+                score=float(np.mean(req.logps)))
+
+    def _harvest(self, emitted: np.ndarray, logps: np.ndarray) -> None:
+        """emitted/logps: (steps, B) from one decode chunk."""
+        for step in range(emitted.shape[0]):
+            for slot, req in enumerate(self._slots):
+                if req is None or req.done:
+                    continue
+                self._record(req, int(emitted[step, slot]),
+                             float(logps[step, slot]))
+        for slot, req in enumerate(self._slots):
+            if req is not None and req.done:
+                self._slots[slot] = None
+
+    def step(self) -> None:
+        """Fill free slots from the queue, then run one decode chunk."""
+        self._fill_slots()
+        # free finished slots created by 1-token requests at fill time
+        for slot, req in enumerate(self._slots):
+            if req is not None and req.done:
+                self._slots[slot] = None
+        if not any(self._slots):
+            return
+        # bound the chunk so the shortest remaining budget wastes < K steps
+        remaining = [req.num_tokens - len(req.tokens)
+                     for req in self._slots if req is not None]
+        steps = max(1, min(self.steps_per_sync, min(remaining)))
+        (self._tokens, self._cache, self._rng, emitted,
+         logps) = _decode_chunk(
+            self.model.params, self._tokens, self._cache, self._rng,
+            self._temps, cfg=self.cfg, steps=steps,
+            top_k=self.top_k, top_p=self.top_p)
+        self._harvest(np.asarray(emitted), np.asarray(logps))
+
+    def run(self) -> Dict[int, GenerationResult]:
+        """Drive the loop until every submitted request has finished."""
+        while self._queue or any(self._slots):
+            self.step()
+        return dict(self._results)
+
+    # -- results -------------------------------------------------------------
+
+    def result(self, rid: int) -> Optional[GenerationResult]:
+        return self._results.get(rid)
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue) + sum(r is not None for r in self._slots)
+
+
+def serve_requests(model, tokenizer, prompts: Sequence[str],
+                   num_tokens: int = 32, temperature: float = 0.0,
+                   max_slots: int = 4, max_len: Optional[int] = None,
+                   top_k: int = 0, top_p: float = 1.0,
+                   steps_per_sync: int = 8,
+                   seed: int = 0) -> List[GenerationResult]:
+    """One-shot convenience: run a ragged prompt list through a
+    continuous-batching server and return results in submission order."""
+    if max_len is None:
+        max_len = max(len(p) for p in prompts) + num_tokens + 1
+    server = GenerationServer(model, tokenizer, max_slots=max_slots,
+                              max_len=max_len, top_k=top_k, top_p=top_p,
+                              steps_per_sync=steps_per_sync, seed=seed)
+    rids = [server.submit(prompt=p, num_tokens=num_tokens,
+                          temperature=temperature) for p in prompts]
+    results = server.run()
+    return [results[r] for r in rids]
