@@ -157,6 +157,53 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
     return batch * n_tokens / min(times)
 
 
+def bench_serving(cfg, slots: int = 8, n_requests: int = 24,
+                  prompt_len: int = 128, n_tokens: int = 256,
+                  steps_per_sync: int = 32, quant: str = 'none'):
+    """Continuous-batching server throughput (evo_tpu/serving.py):
+    aggregate generated tokens/s over a stream of staggered requests with
+    ragged output budgets sharing one `slots`-row decode cache. The
+    reference's serving pattern for mixed traffic is sequential B=1
+    (`evo/generation.py:238-253`), so its ceiling is the B=1 decode
+    roofline — report vs that so the row reads as the speedup the
+    scheduler buys."""
+    from evo_tpu import model as model_lib
+    from evo_tpu.models import EvoModel
+    from evo_tpu.serving import GenerationServer
+
+    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    if quant in ('int8', 'int4'):
+        from evo_tpu.quant import quantize_params
+        params = quantize_params(params, free_source=True, mode=quant)
+    model = EvoModel(cfg, params)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 256, prompt_len).astype(np.int32)
+               for _ in range(n_requests)]
+    # ragged budgets (n_tokens/2 .. 3*n_tokens/2) force mid-stream slot
+    # turnover; uniform prompt length keeps this a one-compile benchmark
+    budgets = [int(n_tokens // 2 + rng.integers(0, n_tokens + 1))
+               for _ in range(n_requests)]
+
+    def run():
+        server = GenerationServer(model, max_slots=slots,
+                                  max_len=prompt_len + 2 * n_tokens + 8,
+                                  steps_per_sync=steps_per_sync)
+        for ids, n in zip(prompts, budgets):
+            server.submit(input_ids=ids, num_tokens=n, temperature=0.0)
+        results = server.run()
+        assert len(results) == n_requests
+        return sum(len(r.token_ids) for r in results.values())
+
+    run()                                   # compile + warmup
+    times, toks = [], 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        toks = run()
+        times.append(time.perf_counter() - t0)
+    return toks / min(times)
+
+
 def bench_scaling(cfg, batch: int, length: int):
     """Scaling-efficiency sweep (SURVEY.md §7 Phase 4): prefill tokens/s at
     every tp that divides the visible device count, dp=1. Returns
@@ -469,6 +516,16 @@ def _run_all(args) -> None:
                 'vs_baseline': round(tps / target8, 4)}
     section('scoring_pipeline', scoring_row)
 
+    def serving_row():
+        # continuous-batching server over staggered ragged requests;
+        # vs_baseline = speedup over the reference's serving pattern for
+        # mixed traffic (sequential B=1 at its HBM roofline)
+        tps = bench_serving(cfg8)
+        return {'value': round(tps, 2),
+                'unit': 'generated tokens/s aggregate',
+                'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
+    section('serving_continuous_batching', serving_row)
+
     # fill in vs_baseline for the prefill extras (shared target)
     for k, tgt in (('prefill_8k_int8', target8),
                    ('prefill_131k_config_L16384',
@@ -546,7 +603,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--preset', default='all',
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
-                             'generate', 'tiny', 'scaling', 'full131k'])
+                             'generate', 'tiny', 'scaling', 'full131k',
+                             'serving'])
     ap.add_argument('--budget-s', type=float, default=720.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
@@ -646,6 +704,18 @@ def main():
                 'vs_baseline': {
                     str(k): round(v / (k * base), 4)
                     for k, v in res.items()} if base else {},
+            }))
+            return
+        if args.preset == 'serving':
+            tps = bench_serving(cfg, quant=args.quant)
+            base = _decode_roofline(cfg, 1)     # reference pattern: B=1
+            print(json.dumps({
+                'metric': f'serving_tokens_per_sec_per_chip_{name}' +
+                          ('' if args.quant == 'none'
+                           else f'_{args.quant}'),
+                'value': round(tps, 2),
+                'unit': 'generated tokens/s aggregate',
+                'vs_baseline': round(tps / base, 4),
             }))
             return
         if args.preset == 'decode':

@@ -13,4 +13,6 @@ from evo_tpu.generation import generate  # noqa: F401
 from evo_tpu.scoring import score_sequences, positional_entropies  # noqa: F401
 from evo_tpu.scoring import (score_sequences_segmented,  # noqa: F401
                              positional_entropies_segmented)
+from evo_tpu.serving import (GenerationServer,  # noqa: F401
+                             serve_requests)
 from evo_tpu.version import version as __version__  # noqa: F401

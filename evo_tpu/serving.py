@@ -188,7 +188,12 @@ class GenerationServer:
     def __init__(self, model, tokenizer=None, max_slots: int = 4,
                  max_len: int = 512, top_k: int = 0, top_p: float = 1.0,
                  steps_per_sync: int = 8, stop_token: Optional[int] = None,
-                 seed: int = 0):
+                 prompt_chunk: Optional[int] = None, seed: int = 0):
+        """prompt_chunk: prefill prompts in fixed-size chunks through the
+        resumable cache. Without it every distinct prompt length compiles
+        its own prefill program (minutes each at 7B on TPU); with it the
+        compiled-shape set is bounded — one chunk-sized resume prefill
+        plus at most `prompt_chunk` tail lengths."""
         if max_slots < 1:
             raise ValueError('max_slots must be >= 1')
         self.model = model
@@ -200,6 +205,7 @@ class GenerationServer:
         self.top_p = float(top_p)
         self.steps_per_sync = max(1, int(steps_per_sync))
         self.stop_token = stop_token
+        self.prompt_chunk = prompt_chunk
 
         cache = model.initialize_inference_params(max_slots, max_len)
         # scalar offset -> per-slot offset vector (decode_step broadcasts)
@@ -255,10 +261,24 @@ class GenerationServer:
             ids = jnp.asarray(req.input_ids)[None]
             # fresh B=1 prefill into the reusable (donated) single-row
             # cache; stale contents past the prompt stay masked out by
-            # the slot's offset
+            # the slot's offset. With prompt_chunk, the head runs as
+            # fixed-size resumed chunks so ragged prompt lengths share a
+            # bounded set of compiled shapes.
+            P = int(ids.shape[1])
+            start = 0
+            if self.prompt_chunk and P > self.prompt_chunk:
+                head = (P // self.prompt_chunk) * self.prompt_chunk
+                if head == P:           # keep a non-empty tail for logits
+                    head -= self.prompt_chunk
+                for s in range(0, head, self.prompt_chunk):
+                    _, self._prefill_cache = self.model(
+                        ids[:, s:s + self.prompt_chunk],
+                        inference_params_dict=self._prefill_cache,
+                        donate_cache=True, resume=s > 0)
+                start = head
             last_logits, self._prefill_cache = self.model(
-                ids, inference_params_dict=self._prefill_cache,
-                donate_cache=True, resume=False)
+                ids[:, start:], inference_params_dict=self._prefill_cache,
+                donate_cache=True, resume=start > 0)
             self._rng, sub = jax.random.split(self._rng)
             tok0, logp0 = _first_token(sub, last_logits[:, -1],
                                        self.top_k, self.top_p,
@@ -304,14 +324,15 @@ class GenerationServer:
                 self._slots[slot] = None
         if not any(self._slots):
             return
-        # bound the chunk so the shortest remaining budget wastes < K steps
-        remaining = [req.num_tokens - len(req.tokens)
-                     for req in self._slots if req is not None]
-        steps = max(1, min(self.steps_per_sync, min(remaining)))
+        # always run exactly steps_per_sync steps: `steps` is static under
+        # jit, so a data-dependent chunk size would compile a fresh decode
+        # program per distinct value (minutes each at 7B). Slots that
+        # finish mid-chunk cost nothing extra — the chunk runs for their
+        # co-tenants anyway and their surplus tokens are discarded.
         (self._tokens, self._cache, self._rng, emitted,
          logps) = _decode_chunk(
             self.model.params, self._tokens, self._cache, self._rng,
-            self._temps, cfg=self.cfg, steps=steps,
+            self._temps, cfg=self.cfg, steps=self.steps_per_sync,
             top_k=self.top_k, top_p=self.top_p)
         self._harvest(np.asarray(emitted), np.asarray(logps))
 

@@ -137,6 +137,23 @@ def test_server_per_request_temperature_and_score(setup):
     assert len(results[r_hot].token_ids) == 6
 
 
+def test_server_chunked_prompt_prefill_matches(setup):
+    """prompt_chunk bounds the compiled prefill shapes; outputs must be
+    bit-identical to the unchunked path (exact resumable-state carry)."""
+    model, tok = setup
+    prompts = ['ACGTACGTACGTA', 'TTGG', 'GATTACAGATTACA']
+    n = 6
+    base = serve_requests(model, tok, prompts, num_tokens=n,
+                          temperature=0.0, max_slots=2)
+    server = GenerationServer(model, tok, max_slots=2, max_len=64,
+                              steps_per_sync=4, prompt_chunk=4)
+    rids = [server.submit(prompt=p, num_tokens=n) for p in prompts]
+    results = server.run()
+    for rid, want in zip(rids, base):
+        np.testing.assert_array_equal(results[rid].token_ids,
+                                      want.token_ids)
+
+
 def test_server_validation_errors(setup):
     model, tok = setup
     server = GenerationServer(model, tok, max_slots=1, max_len=16)
