@@ -352,6 +352,62 @@ class GenerationServer:
         return len(self._queue) + sum(r is not None for r in self._slots)
 
 
+class ServerLoop:
+    """Thread-safe driver around a GenerationServer.
+
+    A background thread runs `server.step()` whenever work is pending;
+    any number of caller threads (e.g. HTTP handlers, scripts/serve.py)
+    submit requests and block on their own result. All server access is
+    serialized under one lock — a decode chunk holds it for its
+    wall-clock (~hundreds of ms at 7B), which is the intended batching
+    granularity, not a contention bug.
+    """
+
+    def __init__(self, server: GenerationServer):
+        import threading
+        self.server = server
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._stop and self.server.pending == 0:
+                    self._cv.wait(timeout=0.1)
+                if self._stop:
+                    return
+                self.server.step()
+                self._cv.notify_all()
+
+    def submit(self, **kwargs) -> int:
+        with self._cv:
+            rid = self.server.submit(**kwargs)
+            self._cv.notify_all()
+            return rid
+
+    def wait(self, rid: int,
+             timeout: Optional[float] = None) -> Optional[GenerationResult]:
+        """Block until request `rid` finishes; None on timeout."""
+        import time
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._cv:
+            while self.server.result(rid) is None:
+                rem = (None if deadline is None
+                       else deadline - time.monotonic())
+                if rem is not None and rem <= 0:
+                    return None
+                self._cv.wait(timeout=0.5 if rem is None else min(rem, 0.5))
+            return self.server.result(rid)
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+
 def serve_requests(model, tokenizer, prompts: Sequence[str],
                    num_tokens: int = 32, temperature: float = 0.0,
                    max_slots: int = 4, max_len: Optional[int] = None,

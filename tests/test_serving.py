@@ -154,6 +154,84 @@ def test_server_chunked_prompt_prefill_matches(setup):
                                       want.token_ids)
 
 
+def test_server_loop_threadsafe_submit_and_wait(setup):
+    """ServerLoop: concurrent submitters each get their own (greedy-
+    deterministic) result back."""
+    import threading
+
+    from evo_tpu.serving import ServerLoop
+    model, tok = setup
+    loop = ServerLoop(GenerationServer(model, tok, max_slots=2, max_len=64,
+                                       steps_per_sync=4))
+    prompts = ['ACGTACGT', 'TTGG', 'GATTACA']
+    out = {}
+
+    def client(p):
+        rid = loop.submit(prompt=p, num_tokens=6, temperature=0.0)
+        out[p] = loop.wait(rid, timeout=120)
+
+    threads = [threading.Thread(target=client, args=(p,)) for p in prompts]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    loop.close()
+    for p in prompts:
+        assert out[p] is not None, p
+        np.testing.assert_array_equal(out[p].token_ids,
+                                      _greedy_reference(model, tok, p, 6))
+
+
+def test_serve_cli_jsonl_and_http(setup, tmp_path):
+    """scripts/serve.py surfaces: JSONL batch mode and the HTTP server."""
+    import json
+    import threading
+    import urllib.request
+
+    from scripts.serve import make_http_server, run_jsonl
+    model, tok = setup
+
+    class A:                                   # argparse stand-in
+        n_tokens = 5
+        temperature = 0.0
+        requests_jsonl = str(tmp_path / 'reqs.jsonl')
+        output_jsonl = str(tmp_path / 'out.jsonl')
+        http = 0
+        request_timeout = 120.0
+
+    reqs = [{'id': 'a', 'prompt': 'ACGTACGT', 'num_tokens': 6},
+            {'id': 'b', 'prompt': 'TTGG'}]
+    with open(A.requests_jsonl, 'w') as f:
+        for r in reqs:
+            f.write(json.dumps(r) + '\n')
+    run_jsonl(A, GenerationServer(model, tok, max_slots=2, max_len=64,
+                                  steps_per_sync=4))
+    lines = [json.loads(x) for x in open(A.output_jsonl)]
+    assert [x['id'] for x in lines] == ['a', 'b']
+    assert lines[0]['num_tokens'] == 6 and lines[1]['num_tokens'] == 5
+    want_a = _greedy_reference(model, tok, 'ACGTACGT', 6)
+    assert lines[0]['sequence'] == tok.detokenize(want_a.tolist())
+
+    httpd, loop = make_http_server(
+        A, GenerationServer(model, tok, max_slots=2, max_len=64,
+                            steps_per_sync=4))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({'prompt': 'ACGTACGT', 'num_tokens': 6}).encode()
+        resp = json.loads(urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/generate', data=body,
+            timeout=120).read())
+        assert resp['sequence'] == tok.detokenize(want_a.tolist())
+        health = json.loads(urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/health', timeout=30).read())
+        assert health['ok'] is True
+    finally:
+        httpd.shutdown()
+        loop.close()
+
+
 def test_server_validation_errors(setup):
     model, tok = setup
     server = GenerationServer(model, tok, max_slots=1, max_len=16)
