@@ -1,0 +1,145 @@
+"""Fine-tuning CLI: FASTA corpus -> updated Evo checkpoint.
+
+The reference ships no training code, but two of its five registered
+checkpoints are fine-tunes of evo-1-8k-base (crispr / transposon,
+`/root/reference/evo/models.py:13-19`); this is the entry point that
+workflow needs. Wires the packed-FASTA data pipeline
+(`evo_tpu/io/dataset.py`) into the mixed-precision AdamW train step
+(`evo_tpu/training.py`, fp32 masters) and writes two artifacts:
+
+  * `<save-dir>/train_state/` — orbax params+optimizer+step for resume;
+  * `<save-dir>/serving/`     — a native serving checkpoint (bf16
+    weights, fp32 poles/residues) loadable with
+    `Evo(..., checkpoint_path=<save-dir>/serving)`.
+
+Single-chip by default; `--dp/--tp` builds a GSPMD mesh (weights sharded
+on tp, the global batch on dp — per-host batch stays `--batch-size`).
+
+Example (tiny CPU smoke):
+    python -m scripts.finetune --input-fasta examples/example_seqs.fasta \
+        --tiny --seq-len 64 --batch-size 2 --steps 10 --save-dir /tmp/ft
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+# honor JAX_PLATFORMS before any backend initializes: on machines with an
+# out-of-tree TPU plugin the env var alone loses to the plugin, but the
+# programmatic config wins (same trick as tests/conftest.py)
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+import time
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser(description='Fine-tune Evo on FASTA (TPU).')
+    p.add_argument('--input-fasta', action='append', required=True,
+                   help='training FASTA (repeatable; .gz supported)')
+    p.add_argument('--model-name', default='evo-1-8k-base')
+    p.add_argument('--checkpoint-path', default=None)
+    p.add_argument('--random-init', action='store_true')
+    p.add_argument('--tiny', action='store_true',
+                   help='tiny same-schema model (CPU smoke; implies '
+                        '--random-init)')
+    p.add_argument('--seq-len', type=int, default=8192)
+    p.add_argument('--batch-size', type=int, default=1,
+                   help='per-host batch (global = batch x hosts under dp)')
+    p.add_argument('--steps', type=int, default=100)
+    p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--weight-decay', type=float, default=0.01)
+    p.add_argument('--grad-clip', type=float, default=1.0)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--dp', type=int, default=1)
+    p.add_argument('--tp', type=int, default=None)
+    p.add_argument('--no-remat', action='store_true',
+                   help='disable per-block rematerialization (more memory, '
+                        'slightly faster backward)')
+    p.add_argument('--save-dir', required=True)
+    p.add_argument('--save-every', type=int, default=0,
+                   help='checkpoint every N steps (0 = only at the end)')
+    p.add_argument('--resume', action='store_true',
+                   help='resume optimizer/step from save-dir/train_state')
+    p.add_argument('--log-every', type=int, default=10)
+    args = p.parse_args()
+
+    from evo_tpu import training
+    from evo_tpu.io.dataset import PackedFastaDataset
+    from evo_tpu.models import Evo
+
+    mesh = None
+    if args.dp != 1 or args.tp not in (None, 1):
+        from evo_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+
+    overrides = {'remat': not args.no_remat}
+    if args.tiny:
+        args.random_init = True
+        from evo_tpu.config import cli_tiny_overrides
+        overrides.update(cli_tiny_overrides())
+    evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
+              random_init=args.random_init, config_overrides=overrides,
+              mesh=mesh)
+    cfg = evo.config
+    serving_dtypes = jax.tree_util.tree_map(lambda x: x.dtype,
+                                            evo.model.params)
+
+    optimizer = training.make_optimizer(
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        grad_clip=args.grad_clip)
+    state = training.init_train_state(evo.model.params, optimizer)
+    if args.resume and os.path.exists(
+            os.path.join(args.save_dir, 'train_state')):
+        state = training.load_train_state(args.save_dir, state)
+        print(f'resumed at step {int(state.step)}', flush=True)
+
+    if mesh is not None:
+        step_fn = training.make_sharded_train_step(cfg, optimizer, mesh)
+    else:
+        step_fn = jax.jit(training.make_train_step(cfg, optimizer),
+                          donate_argnums=(0,))
+
+    ds = PackedFastaDataset(
+        args.input_fasta, evo.tokenizer, seq_len=args.seq_len,
+        batch_size=args.batch_size, seed=args.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+    print(f'{len(ds._records)} records, ~{ds.tokens_per_epoch} tokens/'
+          f'epoch, {ds.steps_per_epoch()} steps/epoch/host', flush=True)
+
+    def save(state):
+        os.makedirs(args.save_dir, exist_ok=True)
+        training.save_train_state(state, args.save_dir)
+        from evo_tpu import checkpoint as ckpt
+        ckpt.save_native(
+            training.serving_params(state, serving_dtypes),
+            os.path.join(args.save_dir, 'serving'), cfg=cfg)
+
+    start = int(state.step)
+    t0 = time.time()
+    done = start
+    for ids, mask in ds.iter_batches():
+        if done >= args.steps:
+            break
+        state, loss = step_fn(state, ids, mask)
+        done += 1
+        if args.log_every and done % args.log_every == 0:
+            loss = float(loss)          # sync point
+            rate = (done - start) * args.batch_size * (args.seq_len + 1) \
+                / max(time.time() - t0, 1e-9)
+            print(f'step {done}  loss {loss:.4f}  '
+                  f'{rate:,.0f} tok/s/host', flush=True)
+        if args.save_every and done % args.save_every == 0:
+            save(state)
+    save(state)
+    print(f'done: {done} steps; serving checkpoint at '
+          f'{os.path.join(args.save_dir, "serving")}', flush=True)
+
+
+if __name__ == '__main__':
+    main()
