@@ -60,8 +60,11 @@ from evo_tpu.ops.sampling import top_k_filter, top_p_filter
 # Device programs
 # ---------------------------------------------------------------------------
 
-def _sample_slots(rng, logits, top_k: int, top_p: float, temps):
-    """Per-slot sampling: logits (B, V) f32ish, temps (B,) float32.
+def _sample_slots(keys, logits, top_k: int, top_p: float, temps):
+    """Per-slot sampling: logits (B, V) f32ish, temps (B,) float32,
+    keys (B, 2) uint32 — one PRNG key PER SLOT, so a request's sample
+    stream is a pure function of its own seed (deterministic regardless
+    of which other requests share the batch or when they arrive).
 
     Rows with temps <= 0 take argmax (greedy); others sample from the
     top-k/top-p-filtered temperature-scaled distribution. Returns
@@ -75,40 +78,48 @@ def _sample_slots(rng, logits, top_k: int, top_p: float, temps):
     t = jnp.maximum(temps, 1e-6)[:, None]
     filt = top_k_filter(logits32 / t, top_k)
     filt = top_p_filter(filt, top_p)
-    sampled = jax.random.categorical(rng, filt, axis=-1).astype(jnp.int32)
-    tok = jnp.where(temps <= 0.0, greedy, sampled)
+    sampled = jax.vmap(
+        lambda k, row: jax.random.categorical(k, row))(keys, filt)
+    tok = jnp.where(temps <= 0.0, greedy, sampled.astype(jnp.int32))
     logp = jnp.take_along_axis(logp_full, tok[:, None], axis=-1)[:, 0]
     return tok, logp
+
+
+def _split_slot_keys(keys):
+    """(B, 2) uint32 -> (next (B, 2), sub (B, 2)): one split per slot."""
+    ks = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+    return ks[:, 0], ks[:, 1]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('cfg', 'steps', 'top_k', 'top_p'),
     donate_argnames=('cache',))
-def _decode_chunk(params, tokens, cache, rng, temps, *, cfg: ModelConfig,
+def _decode_chunk(params, tokens, cache, keys, temps, *, cfg: ModelConfig,
                   steps: int, top_k: int, top_p: float):
     """Run `steps` decode+sample steps for the whole slot batch.
 
     tokens: (B,) int32 — each slot's current token (already emitted or the
-    prompt's last sampled token). Returns (next tokens, cache, rng,
-    emitted (steps, B) int32, logps (steps, B) f32).
+    prompt's last sampled token); keys: (B, 2) uint32 per-slot PRNG keys.
+    Returns (next tokens, cache, keys', emitted (steps, B) int32,
+    logps (steps, B) f32).
     """
     def body(carry, _):
-        toks, cache, rng = carry
+        toks, cache, keys = carry
         logits, cache = model_lib.decode_step(params, cfg, toks, cache)
-        rng, sub = jax.random.split(rng)
+        keys, sub = _split_slot_keys(keys)
         nxt, logp = _sample_slots(sub, logits, top_k, top_p, temps)
-        return (nxt, cache, rng), (nxt, logp)
+        return (nxt, cache, keys), (nxt, logp)
 
-    (tokens, cache, rng), (emitted, logps) = jax.lax.scan(
-        body, (tokens, cache, rng), None, length=steps)
-    return tokens, cache, rng, emitted, logps
+    (tokens, cache, keys), (emitted, logps) = jax.lax.scan(
+        body, (tokens, cache, keys), None, length=steps)
+    return tokens, cache, keys, emitted, logps
 
 
 @functools.partial(jax.jit, static_argnames=('cfg',),
                    donate_argnames=('batch_cache',))
-def _insert_slot(batch_cache, single_cache, slot, tok0, temp0, tokens,
-                 temps, *, cfg: ModelConfig):
+def _insert_slot(batch_cache, single_cache, slot, tok0, temp0, key0,
+                 tokens, temps, keys, *, cfg: ModelConfig):
     """Scatter a freshly-prefilled single-row cache into slot `slot`.
 
     batch_cache: offset (B,), attn KV (B, T, ...), hyena state (n, B, ...).
@@ -139,16 +150,19 @@ def _insert_slot(batch_cache, single_cache, slot, tok0, temp0, tokens,
     tokens = jax.lax.dynamic_update_slice(tokens, tok0[None], (slot,))
     temps = jax.lax.dynamic_update_slice(
         temps, jnp.asarray(temp0, jnp.float32)[None], (slot,))
-    return ({'offset': offset, 'layers': new_layers}, tokens, temps)
+    keys = jax.lax.dynamic_update_slice(keys, key0[None], (slot, 0))
+    return ({'offset': offset, 'layers': new_layers}, tokens, temps, keys)
 
 
 @functools.partial(jax.jit, static_argnames=('top_k', 'top_p'))
-def _first_token(rng, last_logits, top_k: int, top_p: float, temp):
-    """Sample the request's first token from the prefill's last logit."""
-    tok, logp = _sample_slots(rng, last_logits,
+def _first_token(key, last_logits, top_k: int, top_p: float, temp):
+    """Sample the request's first token from the prefill's last logit
+    with the request's own key; returns (token, logp, next slot key)."""
+    nxt, sub = _split_slot_keys(key[None])
+    tok, logp = _sample_slots(sub, last_logits,
                               top_k, top_p,
                               jnp.asarray([temp], jnp.float32))
-    return tok[0], logp[0]
+    return tok[0], logp[0], nxt[0]
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +175,7 @@ class _Request:
     input_ids: np.ndarray            # (P,) int32
     num_tokens: int
     temperature: float
+    seed: int
     tokens: List[int] = dataclasses.field(default_factory=list)
     logps: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -215,7 +230,11 @@ class GenerationServer:
         self._prefill_cache = model.initialize_inference_params(1, max_len)
         self._tokens = jnp.zeros((max_slots,), jnp.int32)
         self._temps = jnp.zeros((max_slots,), jnp.float32)
-        self._rng = jax.random.PRNGKey(seed)
+        # per-slot PRNG keys: each request's stream comes from
+        # fold_in(base, request seed), so its samples do not depend on
+        # co-tenant traffic or arrival timing
+        self._base_key = jax.random.PRNGKey(seed)
+        self._keys = jnp.zeros((max_slots, 2), jnp.uint32)
 
         self._queue: deque[_Request] = deque()
         self._slots: List[Optional[_Request]] = [None] * max_slots
@@ -226,8 +245,13 @@ class GenerationServer:
     # -- submission ----------------------------------------------------------
 
     def submit(self, prompt: Optional[str] = None, input_ids=None,
-               num_tokens: int = 32, temperature: float = 0.0) -> int:
-        """Queue a generation request; returns its request id."""
+               num_tokens: int = 32, temperature: float = 0.0,
+               seed: Optional[int] = None) -> int:
+        """Queue a generation request; returns its request id.
+
+        seed: the request's sampling seed (default: its request id).
+        Results are reproducible per (server seed, request seed,
+        prompt, params) — independent of co-tenant traffic."""
         if input_ids is None:
             if prompt is None:
                 raise ValueError('pass prompt= or input_ids=')
@@ -245,7 +269,8 @@ class GenerationServer:
                 f'the server max_len ({self.max_len})')
         rid = self._next_rid
         self._next_rid += 1
-        req = _Request(rid, ids, int(num_tokens), float(temperature))
+        req = _Request(rid, ids, int(num_tokens), float(temperature),
+                       int(rid if seed is None else seed))
         self._requests[rid] = req
         self._queue.append(req)
         return rid
@@ -279,14 +304,15 @@ class GenerationServer:
             last_logits, self._prefill_cache = self.model(
                 ids[:, start:], inference_params_dict=self._prefill_cache,
                 donate_cache=True, resume=start > 0)
-            self._rng, sub = jax.random.split(self._rng)
-            tok0, logp0 = _first_token(sub, last_logits[:, -1],
-                                       self.top_k, self.top_p,
-                                       req.temperature)
-            self._cache, self._tokens, self._temps = _insert_slot(
+            req_key = jax.random.fold_in(self._base_key, req.seed)
+            tok0, logp0, key0 = _first_token(req_key, last_logits[:, -1],
+                                             self.top_k, self.top_p,
+                                             req.temperature)
+            (self._cache, self._tokens, self._temps,
+             self._keys) = _insert_slot(
                 self._cache, self._prefill_cache,
-                jnp.asarray(slot, jnp.int32), tok0, req.temperature,
-                self._tokens, self._temps, cfg=self.cfg)
+                jnp.asarray(slot, jnp.int32), tok0, req.temperature, key0,
+                self._tokens, self._temps, self._keys, cfg=self.cfg)
             self._record(req, int(tok0), float(logp0))
 
     def _record(self, req: _Request, token: int, logp: float) -> None:
@@ -329,9 +355,9 @@ class GenerationServer:
         # program per distinct value (minutes each at 7B). Slots that
         # finish mid-chunk cost nothing extra — the chunk runs for their
         # co-tenants anyway and their surplus tokens are discarded.
-        (self._tokens, self._cache, self._rng, emitted,
+        (self._tokens, self._cache, self._keys, emitted,
          logps) = _decode_chunk(
-            self.model.params, self._tokens, self._cache, self._rng,
+            self.model.params, self._tokens, self._cache, self._keys,
             self._temps, cfg=self.cfg, steps=self.steps_per_sync,
             top_k=self.top_k, top_p=self.top_p)
         self._harvest(np.asarray(emitted), np.asarray(logps))

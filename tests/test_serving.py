@@ -154,6 +154,34 @@ def test_server_chunked_prompt_prefill_matches(setup):
                                       want.token_ids)
 
 
+def test_sampled_requests_deterministic_across_traffic_mixes(setup):
+    """A stochastic request's output is a pure function of (server seed,
+    request seed, prompt) — independent of co-tenants, arrival order, and
+    slot assignment (per-slot PRNG keys folded from the request seed)."""
+    model, tok = setup
+
+    def run_alone():
+        s = GenerationServer(model, tok, max_slots=2, max_len=64,
+                             top_k=4, steps_per_sync=4, seed=11)
+        rid = s.submit(prompt='ACGTACGTAC', num_tokens=8, temperature=1.0,
+                       seed=123)
+        return s.run()[rid].token_ids
+
+    def run_crowded():
+        s = GenerationServer(model, tok, max_slots=2, max_len=64,
+                             top_k=4, steps_per_sync=4, seed=11)
+        # different co-tenants, and the target request arrives SECOND
+        # (different slot) with other traffic before and after
+        s.submit(prompt='TTGGCCAATT', num_tokens=11, temperature=0.9,
+                 seed=5)
+        rid = s.submit(prompt='ACGTACGTAC', num_tokens=8, temperature=1.0,
+                       seed=123)
+        s.submit(prompt='GATTACA', num_tokens=3, temperature=0.5, seed=9)
+        return s.run()[rid].token_ids
+
+    np.testing.assert_array_equal(run_alone(), run_crowded())
+
+
 def test_server_loop_threadsafe_submit_and_wait(setup):
     """ServerLoop: concurrent submitters each get their own (greedy-
     deterministic) result back."""
