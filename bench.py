@@ -605,7 +605,7 @@ def main():
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling', 'full131k',
                              'serving'])
-    ap.add_argument('--budget-s', type=float, default=720.0,
+    ap.add_argument('--budget-s', type=float, default=1080.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
                          'warm reruns fit easily)')

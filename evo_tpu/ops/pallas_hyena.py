@@ -111,16 +111,23 @@ def _mixer_kernel(z_ref, heads_ref, wt_ref, bb_ref, toep_ref,
     u32 = u.astype(jnp.float32)                          # (bc, T, Ct)
     # y_local[d, q, t] = sum_c toep[d, t, c] u[d, q, c]   (d_skip on the
     # Toeplitz diagonal, folded by the host wrapper)
+    # HIGHEST precision on every f32 dot: the MXU's DEFAULT f32 dot is a
+    # single bf16-multiply pass (~1e-3 relative error), which diverges from
+    # the unfused oracle's HIGHEST-precision conv (fftconv.py) — caught
+    # on-chip by bench.py --verify at f32 tolerances
+    hi = jax.lax.Precision.HIGHEST
     y_local = jax.lax.dot_general(
         u32, toep_ref[:], (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (bc, T, Ct)
+        preferred_element_type=jnp.float32,
+        precision=hi)                                    # (bc, T, Ct)
     # per-chunk injected state: inj[d, q, s] = sum_c p^(Ct-1-c) u[d, q, c]
     inj_r = jax.lax.dot_general(
         u32, pw_r_ref[:], (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (bc, T, S)
+        preferred_element_type=jnp.float32,
+        precision=hi)                                    # (bc, T, S)
     inj_i = jax.lax.dot_general(
         u32, pw_i_ref[:], (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=hi)
 
     # inclusive decayed prefix over the tile's chunks (Hillis-Steele,
     # A = p^Ct): incl[q] = sum_{j<=q} A^(q-j) inj[j]; pcq[q] tabulates A^q
@@ -152,10 +159,11 @@ def _mixer_kernel(z_ref, heads_ref, wt_ref, bb_ref, toep_ref,
     # in-chunk decay of the entering state: y_state[t] = Re(ent . R p^(t+1))
     y_state = (jax.lax.dot_general(
                    ent_r, tab_r_ref[:], (((2,), (1,)), ((0,), (0,))),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=hi)
                - jax.lax.dot_general(
                    ent_i, tab_i_ref[:], (((2,), (1,)), ((0,), (0,))),
-                   preferred_element_type=jnp.float32))  # (bc, T, Ct)
+                   preferred_element_type=jnp.float32,
+                   precision=hi))                        # (bc, T, Ct)
 
     y = (y_local + y_state).astype(y_ref.dtype)          # (bc, T, Ct)
     y_ref[0] = x2 * y                                    # post-gate
