@@ -203,12 +203,21 @@ class GenerationServer:
     def __init__(self, model, tokenizer=None, max_slots: int = 4,
                  max_len: int = 512, top_k: int = 0, top_p: float = 1.0,
                  steps_per_sync: int = 8, stop_token: Optional[int] = None,
-                 prompt_chunk: Optional[int] = None, seed: int = 0):
+                 prompt_chunk: Optional[int] = None,
+                 prefill_chunks_per_sync: int = 0, seed: int = 0):
         """prompt_chunk: prefill prompts in fixed-size chunks through the
         resumable cache. Without it every distinct prompt length compiles
         its own prefill program (minutes each at 7B on TPU); with it the
         compiled-shape set is bounded — one chunk-sized resume prefill
-        plus at most `prompt_chunk` tail lengths."""
+        plus at most `prompt_chunk` tail lengths.
+
+        prefill_chunks_per_sync: interleave long-prompt prefill with
+        decode — at most this many prompt chunks run per step(), so a
+        long arriving prompt stalls the running decode batch by a
+        bounded slice instead of its whole prefill (the chunked-prefill
+        latency property). 0 (default) completes each fill immediately.
+        Outputs are identical either way (exact resumable-state carry +
+        per-request RNG)."""
         if max_slots < 1:
             raise ValueError('max_slots must be >= 1')
         self.model = model
@@ -221,6 +230,11 @@ class GenerationServer:
         self.steps_per_sync = max(1, int(steps_per_sync))
         self.stop_token = stop_token
         self.prompt_chunk = prompt_chunk
+        self.prefill_chunks_per_sync = max(0, int(prefill_chunks_per_sync))
+        # at most one prompt is mid-prefill at a time (prefill is serial
+        # on the chip and shares one single-row cache):
+        # {'slot', 'req', 'ids' (1, P), 'pos'}
+        self._fill: Optional[dict] = None
 
         cache = model.initialize_inference_params(max_slots, max_len)
         # scalar offset -> per-slot offset vector (decode_step broadcasts)
@@ -277,33 +291,51 @@ class GenerationServer:
 
     # -- scheduling ----------------------------------------------------------
 
-    def _fill_slots(self) -> None:
-        for slot in range(self.max_slots):
-            if self._slots[slot] is not None or not self._queue:
-                continue
-            req = self._queue.popleft()
-            self._slots[slot] = req
-            ids = jnp.asarray(req.input_ids)[None]
-            # fresh B=1 prefill into the reusable (donated) single-row
-            # cache; stale contents past the prompt stay masked out by
-            # the slot's offset. With prompt_chunk, the head runs as
-            # fixed-size resumed chunks so ragged prompt lengths share a
-            # bounded set of compiled shapes.
-            P = int(ids.shape[1])
-            start = 0
-            if self.prompt_chunk and P > self.prompt_chunk:
-                head = (P // self.prompt_chunk) * self.prompt_chunk
-                if head == P:           # keep a non-empty tail for logits
-                    head -= self.prompt_chunk
-                for s in range(0, head, self.prompt_chunk):
-                    _, self._prefill_cache = self.model(
-                        ids[:, s:s + self.prompt_chunk],
-                        inference_params_dict=self._prefill_cache,
-                        donate_cache=True, resume=s > 0)
-                start = head
+    def _head_len(self, P: int) -> int:
+        """Length of the fixed-chunk head of a P-token prompt (the rest is
+        the non-empty ragged tail that yields the first-token logits)."""
+        if not self.prompt_chunk or P <= self.prompt_chunk:
+            return 0
+        head = (P // self.prompt_chunk) * self.prompt_chunk
+        return head - self.prompt_chunk if head == P else head
+
+    def _service_fills(self) -> None:
+        """Start/advance prompt prefills into free slots.
+
+        Each fill runs as a fresh B=1 prefill into the reusable (donated)
+        single-row cache; stale contents past the prompt stay masked out
+        by the slot's offset. With prompt_chunk the head runs as
+        fixed-size resumed chunks (bounded compiled-shape set); with
+        prefill_chunks_per_sync > 0 at most that many chunks run per
+        call, interleaving long prefills with decode."""
+        budget = self.prefill_chunks_per_sync or float('inf')
+        while budget > 0:
+            if self._fill is None:
+                free = [i for i, r in enumerate(self._slots) if r is None]
+                if not free or not self._queue:
+                    return
+                req = self._queue.popleft()
+                self._fill = {'slot': free[0], 'req': req,
+                              'ids': jnp.asarray(req.input_ids)[None],
+                              'pos': 0}
+            f = self._fill
+            ids = f['ids']
+            head = self._head_len(int(ids.shape[1]))
+            while f['pos'] < head and budget > 0:
+                s = f['pos']
+                _, self._prefill_cache = self.model(
+                    ids[:, s:s + self.prompt_chunk],
+                    inference_params_dict=self._prefill_cache,
+                    donate_cache=True, resume=s > 0)
+                f['pos'] += self.prompt_chunk
+                budget -= 1
+            if f['pos'] < head:
+                return                       # mid-fill; decode continues
+            budget -= 1                      # the tail chunk below
+            req = f['req']
             last_logits, self._prefill_cache = self.model(
-                ids[:, start:], inference_params_dict=self._prefill_cache,
-                donate_cache=True, resume=start > 0)
+                ids[:, head:], inference_params_dict=self._prefill_cache,
+                donate_cache=True, resume=head > 0)
             req_key = jax.random.fold_in(self._base_key, req.seed)
             tok0, logp0, key0 = _first_token(req_key, last_logits[:, -1],
                                              self.top_k, self.top_p,
@@ -311,8 +343,10 @@ class GenerationServer:
             (self._cache, self._tokens, self._temps,
              self._keys) = _insert_slot(
                 self._cache, self._prefill_cache,
-                jnp.asarray(slot, jnp.int32), tok0, req.temperature, key0,
-                self._tokens, self._temps, self._keys, cfg=self.cfg)
+                jnp.asarray(f['slot'], jnp.int32), tok0, req.temperature,
+                key0, self._tokens, self._temps, self._keys, cfg=self.cfg)
+            self._slots[f['slot']] = req
+            self._fill = None
             self._record(req, int(tok0), float(logp0))
 
     def _record(self, req: _Request, token: int, logp: float) -> None:
@@ -342,8 +376,8 @@ class GenerationServer:
                 self._slots[slot] = None
 
     def step(self) -> None:
-        """Fill free slots from the queue, then run one decode chunk."""
-        self._fill_slots()
+        """Advance prompt prefills, then run one decode chunk."""
+        self._service_fills()
         # free finished slots created by 1-token requests at fill time
         for slot, req in enumerate(self._slots):
             if req is not None and req.done:
@@ -364,7 +398,7 @@ class GenerationServer:
 
     def run(self) -> Dict[int, GenerationResult]:
         """Drive the loop until every submitted request has finished."""
-        while self._queue or any(self._slots):
+        while self._queue or any(self._slots) or self._fill is not None:
             self.step()
         return dict(self._results)
 
@@ -375,7 +409,8 @@ class GenerationServer:
 
     @property
     def pending(self) -> int:
-        return len(self._queue) + sum(r is not None for r in self._slots)
+        return (len(self._queue) + sum(r is not None for r in self._slots)
+                + (1 if self._fill is not None else 0))
 
 
 class ServerLoop:

@@ -163,6 +163,11 @@ def main():
     p.add_argument('--prompt-chunk', type=int, default=128,
                    help='prefill ragged prompts in fixed chunks (bounds '
                         'compiled shapes); 0 disables')
+    p.add_argument('--prefill-chunks-per-sync', type=int, default=0,
+                   help='interleave long-prompt prefill with decode: at '
+                        'most N prompt chunks per scheduler step (bounds '
+                        'the decode stall a long arrival causes); 0 = '
+                        'finish each prefill immediately')
     p.add_argument('--top-k', type=int, default=0)
     p.add_argument('--top-p', type=float, default=1.0)
     p.add_argument('--stop-token', type=int, default=None)
@@ -184,7 +189,9 @@ def main():
         evo.model, evo.tokenizer, max_slots=args.max_slots,
         max_len=args.max_len, top_k=args.top_k, top_p=args.top_p,
         steps_per_sync=args.steps_per_sync, stop_token=args.stop_token,
-        prompt_chunk=args.prompt_chunk or None, seed=args.seed)
+        prompt_chunk=args.prompt_chunk or None,
+        prefill_chunks_per_sync=args.prefill_chunks_per_sync,
+        seed=args.seed)
     if args.http is not None:
         run_http(args, server)
     else:

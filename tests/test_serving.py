@@ -137,6 +137,31 @@ def test_server_per_request_temperature_and_score(setup):
     assert len(results[r_hot].token_ids) == 6
 
 
+def test_interleaved_prefill_matches_and_decodes_between_chunks(setup):
+    """prefill_chunks_per_sync: a long arriving prompt no longer stalls
+    the running batch — decode chunks run between its prefill chunks —
+    and every output is still exactly the single-request reference."""
+    model, tok = setup
+    server = GenerationServer(model, tok, max_slots=2, max_len=96,
+                              steps_per_sync=2, prompt_chunk=4,
+                              prefill_chunks_per_sync=1)
+    r0 = server.submit(prompt='ACGTACGT', num_tokens=14)
+    server.step()                   # r0 inserted + decoding
+    long_prompt = 'GATTACA' * 4     # 28 tokens = 7 chunks of 4
+    r1 = server.submit(prompt=long_prompt, num_tokens=5)
+    before = len(server._requests[r0].tokens)
+    # while r1 is mid-prefill (several steps), r0 keeps decoding
+    server.step()
+    server.step()
+    assert server._fill is not None          # r1 still prefilling
+    assert len(server._requests[r0].tokens) > before
+    results = server.run()
+    np.testing.assert_array_equal(
+        results[r0].token_ids, _greedy_reference(model, tok, 'ACGTACGT', 14))
+    np.testing.assert_array_equal(
+        results[r1].token_ids, _greedy_reference(model, tok, long_prompt, 5))
+
+
 def test_server_chunked_prompt_prefill_matches(setup):
     """prompt_chunk bounds the compiled prefill shapes; outputs must be
     bit-identical to the unchunked path (exact resumable-state carry)."""
