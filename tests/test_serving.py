@@ -285,6 +285,26 @@ def test_serve_cli_jsonl_and_http(setup, tmp_path):
         loop.close()
 
 
+def test_server_under_tp_mesh_matches_single_device(setup):
+    """Continuous batching on a (dp=1, tp=2) mesh: TP-sharded params and
+    GSPMD-propagated cache shardings produce the same greedy outputs as
+    the single-device server."""
+    from evo_tpu.parallel.mesh import make_mesh
+    from evo_tpu.parallel.sharding import shard_params
+
+    model, tok = setup
+    cfg = model.config
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sharded = shard_params(model.params, cfg, mesh)
+    mmodel = EvoModel(cfg, sharded, mesh=mesh)
+    prompts = ['ACGTACGTAC', 'TTGGCCAATT', 'GATTACA']
+    got = serve_requests(mmodel, tok, prompts, num_tokens=7, max_slots=2,
+                         steps_per_sync=4)
+    for prompt, res in zip(prompts, got):
+        np.testing.assert_array_equal(
+            res.token_ids, _greedy_reference(model, tok, prompt, 7))
+
+
 def test_server_validation_errors(setup):
     model, tok = setup
     server = GenerationServer(model, tok, max_slots=1, max_len=16)
