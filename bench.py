@@ -204,6 +204,39 @@ def bench_serving(cfg, slots: int = 8, n_requests: int = 24,
     return toks / min(times)
 
 
+def bench_speculative(cfg, num_tokens: int = 256, gamma: int = 8,
+                      quant: str = 'none'):
+    """n-gram speculative greedy decode on a repetitive prompt (the
+    friendly case: tandem-repeat genomic sequence) — tokens/s plus the
+    acceptance telemetry. Exact same tokens as plain greedy decode."""
+    from evo_tpu import model as model_lib
+    from evo_tpu.models import EvoModel
+    from evo_tpu.speculative import generate_speculative
+    from evo_tpu.tokenizer import CharLevelTokenizer
+
+    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
+        jax.random.PRNGKey(0))
+    if quant in ('int8', 'int4'):
+        from evo_tpu.quant import quantize_params
+        params = quantize_params(params, free_source=True, mode=quant)
+    model = EvoModel(cfg, params)
+    tok = CharLevelTokenizer(512)
+    prompt = 'ACGTTGCAAC' * 24                  # strongly periodic, 240 nt
+
+    def run():
+        toks, _, stats = generate_speculative(
+            model, tok, prompt=prompt, num_tokens=num_tokens, gamma=gamma)
+        return len(toks), stats
+
+    run()                                        # compile + warmup
+    times, stats = [], None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n, stats = run()
+        times.append(time.perf_counter() - t0)
+    return n / min(times), stats
+
+
 def bench_scaling(cfg, batch: int, length: int):
     """Scaling-efficiency sweep (SURVEY.md §7 Phase 4): prefill tokens/s at
     every tp that divides the visible device count, dp=1. Returns
@@ -446,6 +479,30 @@ def _run_all(args) -> None:
     def left() -> float:
         return deadline - time.time()
 
+    def _release_device_memory():
+        """Drop everything the previous section left on the chip: each
+        section inits its own 7B params (12.9 GB bf16), and jit caches /
+        GC-pending arrays keep them alive into the NEXT section's init —
+        observed as RESOURCE_EXHAUSTED on the int4/scoring/serving rows
+        once enough sections ran in one process."""
+        import gc
+        jax.clear_caches()
+        gc.collect()
+        n_live = 0
+        for x in jax.live_arrays():
+            if x.size * x.dtype.itemsize > (64 << 20):
+                n_live += 1
+                x.delete()
+        gc.collect()
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            used = stats.get('bytes_in_use', 0) / 2**30
+            print(f'[bench] post-release HBM in use: {used:.2f} GiB '
+                  f'({n_live} large arrays deleted)',
+                  file=sys.stderr, flush=True)
+        except Exception:                                  # noqa: BLE001
+            pass
+
     def section(key: str, fn, retries: int = 1):
         """Budget-gate + fault-isolate one measurement: a transient
         backend failure (the tunneled chip intermittently returns
@@ -456,6 +513,7 @@ def _run_all(args) -> None:
             extras[key] = 'skipped (budget)'
             return
         for attempt in range(retries + 1):
+            _release_device_memory()
             try:
                 extras[key] = fn()
                 return

@@ -15,4 +15,5 @@ from evo_tpu.scoring import (score_sequences_segmented,  # noqa: F401
                              positional_entropies_segmented)
 from evo_tpu.serving import (GenerationServer,  # noqa: F401
                              serve_requests)
+from evo_tpu.speculative import generate_speculative  # noqa: F401
 from evo_tpu.version import version as __version__  # noqa: F401

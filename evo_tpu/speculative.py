@@ -1,0 +1,176 @@
+"""Greedy n-gram speculative decoding (prompt-lookup / self-speculation).
+
+B=1 greedy decode is HBM-bound: every emitted token reads the full
+weight set once (~61 tok/s ceiling at 7B bf16 on v5e; BASELINE.md). This
+module trades that for one *parallel* verify pass per accepted run: a
+cheap host-side n-gram index proposes the `gamma` tokens that followed
+the last earlier occurrence of the current suffix, and one resumed
+prefill over [last_token, p_1..p_gamma] scores them all in a single
+weight read. Greedy acceptance is exact — the emitted stream is
+token-for-token identical to ordinary greedy decoding (tests enforce
+this on adversarial and repetitive inputs alike); only the number of
+device passes changes.
+
+Genomic sequences are the friendly case: generated phage genomes and
+tandem-repeat regions are highly self-similar, so acceptance runs are
+long exactly where generation is longest. On non-repetitive sequence
+acceptance drops to ~0 and each token costs a verify pass plus a
+1-token commit — slower than the fused scan. Strictly opt-in
+(`scripts/generate.py --speculative`).
+
+Cache discipline (the part that makes it exact): Hyena's modal state is
+a running recurrence with no rollback, so the verify pass runs on a
+non-donated cache; full acceptance keeps the verified cache, partial
+acceptance replays only the accepted prefix from the saved cache (at
+most `gamma` distinct compiled commit shapes). The reference has no
+speculative path (per-token torch loop, `evo/generation.py:131-189`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NGramIndex:
+    """Last-earlier-occurrence index of length-`n` grams over the emitted
+    stream; O(1) amortized update per token, O(1) proposal."""
+
+    def __init__(self, n: int = 3):
+        self.n = n
+        self.tokens: List[int] = []
+        self._index: Dict[Tuple[int, ...], int] = {}
+        self._indexed_upto = 0      # grams ending strictly before this
+
+    def extend(self, toks) -> None:
+        self.tokens.extend(int(t) for t in toks)
+
+    def _catch_up(self) -> None:
+        """Index every gram ending at position < len-1 (the trailing gram
+        is the QUERY; indexing it would always match itself)."""
+        end = len(self.tokens) - 1
+        for i in range(max(self._indexed_upto, self.n - 1), end):
+            gram = tuple(self.tokens[i - self.n + 1:i + 1])
+            self._index[gram] = i
+        self._indexed_upto = max(self._indexed_upto, end)
+
+    def propose(self, gamma: int) -> np.ndarray:
+        """gamma proposed continuations of the current stream."""
+        toks = self.tokens
+        if len(toks) >= self.n:
+            self._catch_up()
+            j = self._index.get(tuple(toks[-self.n:]))
+            if j is not None:
+                cont = toks[j + 1:j + 1 + gamma]
+                if len(cont) < gamma:      # near the end: cycle the match
+                    cont = (cont + toks[j + 1:])[:gamma]
+                if len(cont) == gamma:
+                    return np.asarray(cont, np.int32)
+        # no match: repeat the last token (free to be wrong — one
+        # mispredicted run costs the same as no speculation)
+        last = toks[-1] if toks else 0
+        return np.full((gamma,), last, np.int32)
+
+
+@dataclasses.dataclass
+class SpecStats:
+    cycles: int = 0
+    proposed: int = 0
+    accepted: int = 0
+    device_calls: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / max(self.proposed, 1)
+
+    @property
+    def tokens_per_call(self) -> float:
+        return (self.accepted + self.cycles) / max(self.device_calls, 1)
+
+
+def generate_speculative(
+    model,
+    tokenizer=None,
+    prompt: Optional[str] = None,
+    input_ids=None,
+    num_tokens: int = 100,
+    gamma: int = 8,
+    ngram: int = 3,
+    max_len: Optional[int] = None,
+) -> Tuple[np.ndarray, List[float], SpecStats]:
+    """Greedy generation with n-gram speculation (module docstring).
+
+    Returns (token_ids (num_tokens,) int32, per-token logprobs,
+    SpecStats). Token-exact vs ordinary greedy decoding.
+    """
+    if input_ids is None:
+        if prompt is None or tokenizer is None:
+            raise ValueError('pass input_ids= or prompt= with a tokenizer')
+        input_ids = tokenizer.tokenize(prompt)
+    ids = np.asarray(input_ids, np.int32).reshape(1, -1)
+    P = ids.shape[1]
+    if P == 0:
+        raise ValueError('empty prompt')
+    if num_tokens < 1:
+        raise ValueError('num_tokens must be >= 1')
+    if gamma < 1:
+        raise ValueError('gamma must be >= 1')
+    T = max_len or (P + num_tokens + gamma + 2)
+
+    stats = SpecStats()
+    spec = NGramIndex(ngram)
+    spec.extend(ids[0])
+
+    cache = model.initialize_inference_params(1, T)
+    logits, cache = model(jnp.asarray(ids), inference_params_dict=cache,
+                          donate_cache=True, resume=False)
+    stats.device_calls += 1
+    logp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+    t_last = int(jnp.argmax(logits[0, -1]))
+    out: List[int] = [t_last]
+    logps: List[float] = [float(logp[t_last])]
+    spec.extend([t_last])
+
+    while len(out) < num_tokens:
+        props = spec.propose(gamma)
+        x = jnp.asarray(np.concatenate([[t_last], props])[None])  # (1, g+1)
+        # verify pass on a NON-donated cache: partial acceptance rolls
+        # back by replaying the accepted prefix from this saved cache
+        logits, cache_try = model(x, inference_params_dict=cache,
+                                  donate_cache=False, resume=True)
+        stats.device_calls += 1
+        stats.cycles += 1
+        stats.proposed += gamma
+        lg = np.asarray(logits[0].astype(jnp.float32))   # (g+1, V)
+        greedy = lg.argmax(axis=-1).astype(np.int32)     # (g+1,)
+        a = 0
+        while a < gamma and props[a] == greedy[a]:
+            a += 1
+        stats.accepted += a
+        # emitted this cycle: the accepted run + the correction token;
+        # token i was the argmax of row i, logprob via a stable softmax
+        emitted = list(props[:a]) + [int(greedy[a])]
+        for i, tok in enumerate(emitted):
+            m = lg[i].max()
+            logps.append(float(lg[i][tok] - m
+                               - np.log(np.sum(np.exp(lg[i] - m)))))
+        out.extend(int(t) for t in emitted)
+        spec.extend(emitted)
+        t_last = int(greedy[a])
+        if a == gamma:
+            cache = cache_try           # fully consistent — keep it
+        else:
+            # replay only the accepted prefix of the verify inputs
+            # ([old last token, accepted proposals] — a+1 <= gamma
+            # inputs, so at most gamma distinct compiled commit shapes);
+            # donate: the saved cache is ours and replaced here
+            del cache_try
+            _, cache = model(x[:, :a + 1], inference_params_dict=cache,
+                             donate_cache=True, resume=True)
+            stats.device_calls += 1
+    return (np.asarray(out[:num_tokens], np.int32), logps[:num_tokens],
+            stats)

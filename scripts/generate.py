@@ -44,6 +44,12 @@ def main():
                         help='prefill long prompts in chunks of this many '
                              'tokens through the resumable cache (bounded '
                              'activation memory for 131k-class prompts)')
+    parser.add_argument('--speculative', type=int, default=0, metavar='G',
+                        help='greedy n-gram speculative decoding with G '
+                             'proposed tokens per verify pass '
+                             '(evo_tpu/speculative.py; token-exact vs '
+                             'greedy, big wins on repetitive sequence). '
+                             'Forces greedy sampling; 0 = off.')
     parser.add_argument('--quant', default='none',
                         choices=['none', 'int8', 'int8x8', 'int4'],
                         help='opt-in serving precision (docs/serving.md): '
@@ -69,6 +75,23 @@ def main():
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
               random_init=args.random_init, config_overrides=overrides,
               mesh=mesh)
+
+    if args.speculative:
+        import numpy as np
+
+        from evo_tpu.speculative import generate_speculative
+        seqs, scores = [], []
+        for _ in range(args.n_samples):
+            toks, logps, stats = generate_speculative(
+                evo.model, evo.tokenizer, prompt=args.prompt,
+                num_tokens=args.n_tokens, gamma=args.speculative)
+            seqs.append(evo.tokenizer.detokenize(toks.tolist()))
+            scores.append(float(np.mean(logps)))
+            if args.verbose:
+                print(f'Output: "{seqs[-1]}", Score: {scores[-1]:.4f} '
+                      f'(acceptance {stats.acceptance_rate:.2f}, '
+                      f'{stats.tokens_per_call:.2f} tokens/device-call)')
+        return seqs, scores
 
     prompts = [args.prompt] * args.n_samples
     seqs, scores = generate(
