@@ -7,11 +7,12 @@ homopolymer penalties), pick two splits balancing fragment sizes, emit the
 two overlapping fragments plus quality metrics per genome, and batch over a
 CSV with the same output columns.
 
-The melting temperature is computed with the unified nearest-neighbor
-thermodynamic parameters (SantaLucia & Hicks 2004) at the same default
-conditions as the reference's BioPython `Tm_NN` call (25 nM strand
-concentrations, 50 mM Na+, SantaLucia-1998 entropy salt correction), so no
-BioPython dependency is needed.
+The melting temperature reproduces the reference's BioPython
+`mt.Tm_NN(seq)` call exactly: the DEFAULT `Tm_NN` table is DNA_NN3
+(Allawi & SantaLucia 1997 — NOT the 2004 unified table, which differs on
+AA/TT and the initiation terms and shifts Tm by ~1 C, enough to change
+junction ranking), 25 nM strand concentrations, 50 mM Na+,
+SantaLucia-1998 entropy salt correction. No BioPython dependency needed.
 
 Usage:
     python -m phage_gen.analysis.genome_gibson_assembly \
@@ -30,9 +31,11 @@ class GibsonDesignError(ValueError):
     undecodable bases). Subclasses ValueError for caller compatibility."""
 
 
-# Unified NN parameters (SantaLucia & Hicks 2004): (dH kcal/mol, dS cal/K/mol)
+# Allawi & SantaLucia 1997 NN parameters — BioPython MeltingTemp's
+# DNA_NN3, the DEFAULT table of the reference's `mt.Tm_NN(seq)` call:
+# (dH kcal/mol, dS cal/K/mol)
 _NN = {
-    'AA': (-7.6, -21.3), 'TT': (-7.6, -21.3),
+    'AA': (-7.9, -22.2), 'TT': (-7.9, -22.2),
     'AT': (-7.2, -20.4), 'TA': (-7.2, -21.3),
     'CA': (-8.5, -22.7), 'TG': (-8.5, -22.7),
     'GT': (-8.4, -22.4), 'AC': (-8.4, -22.4),
@@ -41,8 +44,9 @@ _NN = {
     'CG': (-10.6, -27.2), 'GC': (-9.8, -24.4),
     'GG': (-8.0, -19.9), 'CC': (-8.0, -19.9),
 }
-_INIT = (0.2, -5.7)
-_INIT_AT = (2.2, 6.9)       # per terminal A or T
+_INIT = (0.0, 0.0)
+_INIT_AT = (2.3, 4.1)       # per terminal A or T (DNA_NN3 'init_A/T')
+_INIT_GC = (0.1, -2.8)      # per terminal G or C (DNA_NN3 'init_G/C')
 _R = 1.987                  # cal/(K mol)
 
 
@@ -62,6 +66,9 @@ def melting_temperature(sequence: str, dnac1: float = 25.0,
         if terminal in 'AT':
             dh += _INIT_AT[0]
             ds += _INIT_AT[1]
+        else:
+            dh += _INIT_GC[0]
+            ds += _INIT_GC[1]
     for i in range(len(seq) - 1):
         pair = seq[i:i + 2]
         if pair not in _NN:

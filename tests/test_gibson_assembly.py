@@ -71,3 +71,13 @@ def test_design_for_dataframe(tmp_path):
     assert result['gibson_fragment1_sequence'].notna().all()
     assert (result['gibson_fragment1_len']
             + result['gibson_fragment2_len'] - 60 == 4800).all()
+
+
+def test_melting_temperature_matches_biopython_tm_nn_defaults():
+    """Pinned to the reference's `mt.Tm_NN(seq)` defaults: DNA_NN3 table
+    (Allawi & SantaLucia 1997), 25/25 nM strands, 50 mM Na+,
+    SantaLucia-1998 salt correction. Value computed from the published
+    constants; guards against table drift (the 2004 unified table is
+    ~1 C off — enough to change junction ranking)."""
+    tm = gib.melting_temperature('AGCGTACCTGGAATCCGATGGCATTAGCCA')
+    assert abs(tm - 64.6430) < 5e-4, tm
