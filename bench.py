@@ -59,19 +59,30 @@ def _model_flops_per_token(cfg) -> float:
             + cfg.num_layers * per_mlp + embed)
 
 
+def _init_params(cfg):
+    params = jax.jit(functools.partial(
+        __import__('evo_tpu.model', fromlist=['model']).init_params,
+        cfg=cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    return params
+
+
 def bench_prefill(cfg, batch: int, length: int, iters: int = 3,
-                  quant: str = 'none'):
+                  quant: str = 'none', params=None):
+    """params: pass a pre-built (possibly pre-quantized) tree to share one
+    set of device weights across sections — every 12.9 GB init/free cycle
+    stresses the tunneled backend's allocator (preset 'all' reuses)."""
     from evo_tpu import model as model_lib
 
-    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    if params is None:
+        params = _init_params(cfg)
+        if quant == 'int8':
+            from evo_tpu.quant import quantize_params
+            params = quantize_params(params, free_source=True)
     if quant == 'int8':
         # int8 x int8 serving mode: quantized weights AND dynamic
         # per-token activation quantization (evo_tpu/quant.py:qdot)
-        from evo_tpu.quant import quantize_params
         cfg = cfg.replace(weight_quant='int8', act_quant='int8')
-        params = quantize_params(params, free_source=True)
     elif quant != 'none':
         # do NOT silently fall through to bf16 under an int4 flag: int4
         # is a decode/memory mode (use --preset generate), and a wrong
@@ -96,11 +107,12 @@ def bench_prefill(cfg, batch: int, length: int, iters: int = 3,
     return batch * length / dt
 
 
-def bench_decode(cfg, batch: int, prompt_len: int, steps: int = 64):
+def bench_decode(cfg, batch: int, prompt_len: int, steps: int = 64,
+                 params=None):
     from evo_tpu import model as model_lib
 
-    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
-        jax.random.PRNGKey(0))
+    if params is None:
+        params = _init_params(cfg)
     ids = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (batch, prompt_len)),
         jnp.int32)
@@ -123,17 +135,18 @@ def bench_decode(cfg, batch: int, prompt_len: int, steps: int = 64):
 
 
 def bench_generate(cfg, batch: int, prompt_len: int = 128,
-                   n_tokens: int = 256, quant: str = 'none'):
+                   n_tokens: int = 256, quant: str = 'none', params=None):
     """Fused-scan generation (the production decode path): one XLA program
-    for prefill + decode + sampling; returns decode tokens/s."""
+    for prefill + decode + sampling; returns decode tokens/s. A passed
+    `params` tree is used as-is (pre-quantize it for quant rows)."""
     from evo_tpu import model as model_lib
     from evo_tpu.generation import _generate_program
 
-    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
-        jax.random.PRNGKey(0))
-    if quant in ('int8', 'int4'):
-        from evo_tpu.quant import quantize_params
-        params = quantize_params(params, free_source=True, mode=quant)
+    if params is None:
+        params = _init_params(cfg)
+        if quant in ('int8', 'int4'):
+            from evo_tpu.quant import quantize_params
+            params = quantize_params(params, free_source=True, mode=quant)
     prompt = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (batch, prompt_len)),
         jnp.int32)
@@ -159,7 +172,8 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
 
 def bench_serving(cfg, slots: int = 8, n_requests: int = 24,
                   prompt_len: int = 128, n_tokens: int = 256,
-                  steps_per_sync: int = 32, quant: str = 'none'):
+                  steps_per_sync: int = 32, quant: str = 'none',
+                  params=None):
     """Continuous-batching server throughput (evo_tpu/serving.py):
     aggregate generated tokens/s over a stream of staggered requests with
     ragged output budgets sharing one `slots`-row decode cache. The
@@ -167,15 +181,14 @@ def bench_serving(cfg, slots: int = 8, n_requests: int = 24,
     (`evo/generation.py:238-253`), so its ceiling is the B=1 decode
     roofline — report vs that so the row reads as the speedup the
     scheduler buys."""
-    from evo_tpu import model as model_lib
     from evo_tpu.models import EvoModel
     from evo_tpu.serving import GenerationServer
 
-    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
-        jax.random.PRNGKey(0))
-    if quant in ('int8', 'int4'):
-        from evo_tpu.quant import quantize_params
-        params = quantize_params(params, free_source=True, mode=quant)
+    if params is None:
+        params = _init_params(cfg)
+        if quant in ('int8', 'int4'):
+            from evo_tpu.quant import quantize_params
+            params = quantize_params(params, free_source=True, mode=quant)
     model = EvoModel(cfg, params)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 256, prompt_len).astype(np.int32)
@@ -479,41 +492,18 @@ def _run_all(args) -> None:
     def left() -> float:
         return deadline - time.time()
 
-    def _release_device_memory():
-        """Drop everything the previous section left on the chip: each
-        section inits its own 7B params (12.9 GB bf16), and jit caches /
-        GC-pending arrays keep them alive into the NEXT section's init —
-        observed as RESOURCE_EXHAUSTED on the int4/scoring/serving rows
-        once enough sections ran in one process."""
-        import gc
-        jax.clear_caches()
-        gc.collect()
-        n_live = 0
-        for x in jax.live_arrays():
-            if x.size * x.dtype.itemsize > (64 << 20):
-                n_live += 1
-                x.delete()
-        gc.collect()
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            used = stats.get('bytes_in_use', 0) / 2**30
-            print(f'[bench] post-release HBM in use: {used:.2f} GiB '
-                  f'({n_live} large arrays deleted)',
-                  file=sys.stderr, flush=True)
-        except Exception:                                  # noqa: BLE001
-            pass
-
     def section(key: str, fn, retries: int = 1):
         """Budget-gate + fault-isolate one measurement: a transient
         backend failure (the tunneled chip intermittently returns
-        RESOURCE_EXHAUSTED / hangs — observed for hours on 2026-08-17)
-        marks the row instead of killing the whole bench, so the driver
-        still gets every other number."""
+        RESOURCE_EXHAUSTED / hangs — observed for hours on 2026-08-17
+        and again 2026-08-18) marks the row instead of killing the whole
+        bench, so the driver still gets every other number."""
+        import gc
         if left() <= 0:
             extras[key] = 'skipped (budget)'
             return
         for attempt in range(retries + 1):
-            _release_device_memory()
+            gc.collect()
             try:
                 extras[key] = fn()
                 return
@@ -523,15 +513,28 @@ def _run_all(args) -> None:
                     time.sleep(10)
         extras[key] = err
 
+    # ONE shared bf16 7B tree for every cfg8 section: each 12.9 GB
+    # init/free cycle stresses the tunneled backend's allocator (the
+    # RESOURCE_EXHAUSTED episodes hit after many such cycles even with
+    # zero live arrays), so the whole bench now allocates 7B weights
+    # three times (bf16, int8-by-donation, int4) instead of ~9.
+    shared = {'params': None}
+
+    def params8():
+        if shared['params'] is None:
+            shared['params'] = _init_params(cfg8)
+        return shared['params']
+
     # headline: 7B prefill B=1 L=8192 (always measured, with retry)
     tps8 = None
     for attempt in range(3):
         try:
-            tps8 = bench_prefill(cfg8, 1, 8192)
+            tps8 = bench_prefill(cfg8, 1, 8192, params=params8())
             break
         except Exception as e:                        # noqa: BLE001
             extras['headline_error'] = (f'{type(e).__name__}: '
                                         f'{str(e)[:120]}')
+            shared['params'] = None
             time.sleep(15)
 
     # kernel verification first among the extras: it is the regression
@@ -542,34 +545,17 @@ def _run_all(args) -> None:
                 f"max_err {kv['max_err']:.2e})")
     section('kernel_verify', _kv)
 
-    # int8 x int8 fast-prefill serving mode (vs the same bf16 roofline
-    # target, so the row reads as the speedup the mode buys)
-    section('prefill_8k_int8', lambda: {
-        'value': round(bench_prefill(cfg8, 1, 8192, quant='int8'), 2),
-        'unit': 'tokens/s'})
-
-    cfg131 = config_for_model('evo-1-131k-base')
-    section('prefill_131k_config_L16384', lambda: {
-        'value': round(bench_prefill(cfg131, 1, 16384), 2),
-        'unit': 'tokens/s'})
-
-    def decode_row(batch, quant):
+    def decode_row(batch, quant, params):
         # vs_baseline is always relative to the bf16 HBM roofline, so
         # the int8 row reads directly as the speedup it buys over the
         # bf16 ceiling (evo_tpu/quant.py)
-        tps = bench_generate(cfg8, batch, quant=quant)
+        tps = bench_generate(cfg8, batch, quant=quant, params=params)
         return {'value': round(tps, 2), 'unit': 'tokens/s aggregate',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, batch),
                                      4)}
 
-    for batch, quant in ((1, 'none'), (8, 'none'), (1, 'int8'),
-                         (1, 'int4')):
-        key = f'decode_fused_b{batch}' + \
-            ('' if quant == 'none' else f'_{quant}')
-        section(key, functools.partial(decode_row, batch, quant))
-
     def scoring_row():
-        tps = bench_scoring(cfg8)
+        tps = bench_scoring(cfg8, params=params8())
         return {'value': round(tps, 2), 'unit': 'tokens/s',
                 'vs_baseline': round(tps / target8, 4)}
     section('scoring_pipeline', scoring_row)
@@ -578,11 +564,50 @@ def _run_all(args) -> None:
         # continuous-batching server over staggered ragged requests;
         # vs_baseline = speedup over the reference's serving pattern for
         # mixed traffic (sequential B=1 at its HBM roofline)
-        tps = bench_serving(cfg8)
+        tps = bench_serving(cfg8, params=params8())
         return {'value': round(tps, 2),
                 'unit': 'generated tokens/s aggregate',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
     section('serving_continuous_batching', serving_row)
+
+    for batch in (1, 8):
+        section(f'decode_fused_b{batch}',
+                functools.partial(decode_row, batch, 'none',
+                                  params8()))
+
+    # quantized rows: int8 tree derived from the shared bf16 tree BY
+    # DONATION (free_source) and reused across both int8 rows
+    def _to_int8():
+        from evo_tpu.quant import quantize_params
+        q = quantize_params(params8(), free_source=True)
+        shared['params'] = None          # bf16 tree is gone
+        return q
+
+    if left() > 0:
+        try:
+            params_i8 = _to_int8()
+        except Exception as e:                        # noqa: BLE001
+            params_i8 = None
+            extras['int8_quantize'] = (f'error: {type(e).__name__}: '
+                                       f'{str(e)[:120]}')
+        if params_i8 is not None:
+            section('prefill_8k_int8', lambda: {
+                'value': round(bench_prefill(cfg8, 1, 8192, quant='int8',
+                                             params=params_i8), 2),
+                'unit': 'tokens/s'})
+            section('decode_fused_b1_int8',
+                    functools.partial(decode_row, 1, 'int8', params_i8))
+            del params_i8
+
+    cfg131 = config_for_model('evo-1-131k-base')
+    section('prefill_131k_config_L16384', lambda: {
+        'value': round(bench_prefill(cfg131, 1, 16384), 2),
+        'unit': 'tokens/s'})
+
+    # int4 last: the memory-fit row is the most allocator-hungry
+    # (fresh bf16 init + packed tree) and the most backend-flaky
+    section('decode_fused_b1_int4',
+            functools.partial(decode_row, 1, 'int4', None))
 
     # fill in vs_baseline for the prefill extras (shared target)
     for k, tgt in (('prefill_8k_int8', target8),
@@ -603,20 +628,18 @@ def _run_all(args) -> None:
     }))
 
 
-def bench_scoring(cfg, n_seqs: int = 2, seq_len: int = 8191):
+def bench_scoring(cfg, n_seqs: int = 2, seq_len: int = 8191, params=None):
     """End-to-end scoring-pipeline throughput: tokenize -> prepare_batch ->
     forward -> logprob gather -> host reduction (`score_sequences`,
     SURVEY.md §3.1), tokens/s including host-side work."""
     import numpy as np
 
-    from evo_tpu import model as model_lib
     from evo_tpu.models import EvoModel
     from evo_tpu.scoring import score_sequences
     from evo_tpu.tokenizer import CharLevelTokenizer
 
-    params = jax.jit(functools.partial(model_lib.init_params, cfg=cfg))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    if params is None:
+        params = _init_params(cfg)
     model = EvoModel(cfg, params)
     tok = CharLevelTokenizer(512)
     rng = np.random.default_rng(0)
