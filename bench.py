@@ -685,7 +685,7 @@ def main():
     ap.add_argument('--preset', default='all',
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling', 'full131k',
-                             'serving'])
+                             'serving', 'speculative'])
     ap.add_argument('--budget-s', type=float, default=1080.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
@@ -785,6 +785,21 @@ def main():
                 'vs_baseline': {
                     str(k): round(v / (k * base), 4)
                     for k, v in res.items()} if base else {},
+            }))
+            return
+        if args.preset == 'speculative':
+            tps, stats = bench_speculative(cfg, quant=args.quant)
+            print(json.dumps({
+                'metric': f'speculative_decode_tokens_per_sec_{name}' +
+                          ('' if args.quant == 'none'
+                           else f'_{args.quant}'),
+                'value': round(tps, 2),
+                'unit': 'tokens/s (B=1 greedy, repetitive prompt)',
+                # vs the plain fused-decode B=1 HBM roofline: >1 means
+                # speculation beats the per-token weight-read ceiling
+                'vs_baseline': round(tps / _decode_roofline(cfg, 1), 4),
+                'acceptance_rate': round(stats.acceptance_rate, 4),
+                'tokens_per_device_call': round(stats.tokens_per_call, 4),
             }))
             return
         if args.preset == 'serving':
