@@ -285,6 +285,23 @@ def test_serve_cli_jsonl_and_http(setup, tmp_path):
         loop.close()
 
 
+def test_server_with_int8_weights_matches_int8_generator(setup):
+    """The serving scheduler composes with the int8 weight-only mode: its
+    greedy outputs equal the int8-quantized model's own Generator run
+    (quantized numerics differ from bf16 by design, so the oracle is the
+    same quantized tree, not the bf16 one)."""
+    from evo_tpu.quant import quantize_params
+    model, tok = setup
+    qparams = quantize_params(model.params)
+    qmodel = EvoModel(model.config, qparams)
+    prompts = ['ACGTACGTAC', 'TTGG']
+    got = serve_requests(qmodel, tok, prompts, num_tokens=6, max_slots=2,
+                         steps_per_sync=4)
+    for prompt, res in zip(prompts, got):
+        want = _greedy_reference(qmodel, tok, prompt, 6)
+        np.testing.assert_array_equal(res.token_ids, want)
+
+
 def test_server_under_tp_mesh_matches_single_device(setup):
     """Continuous batching on a (dp=1, tp=2) mesh: TP-sharded params and
     GSPMD-propagated cache shardings produce the same greedy outputs as
