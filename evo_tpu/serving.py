@@ -235,6 +235,9 @@ class GenerationServer:
         # on the chip and shares one single-row cache):
         # {'slot', 'req', 'ids' (1, P), 'pos'}
         self._fill: Optional[dict] = None
+        # most recent completed prefill, reused verbatim for identical
+        # follow-up prompts: {'key': bytes, 'cache', 'last_logits'}
+        self._prefix: Optional[dict] = None
 
         cache = model.initialize_inference_params(max_slots, max_len)
         # scalar offset -> per-slot offset vector (decode_step broadcasts)
@@ -299,13 +302,41 @@ class GenerationServer:
         head = (P // self.prompt_chunk) * self.prompt_chunk
         return head - self.prompt_chunk if head == P else head
 
+    def _insert_from(self, single_cache, last_logits, slot: int,
+                     req: _Request) -> None:
+        """Sample the request's first token and scatter `single_cache`
+        into `slot` (single_cache is NOT donated — it doubles as the
+        prefix cache for identical follow-up prompts)."""
+        req_key = jax.random.fold_in(self._base_key, req.seed)
+        tok0, logp0, key0 = _first_token(req_key, last_logits[:, -1],
+                                         self.top_k, self.top_p,
+                                         req.temperature)
+        (self._cache, self._tokens, self._temps,
+         self._keys) = _insert_slot(
+            self._cache, single_cache,
+            jnp.asarray(slot, jnp.int32), tok0, req.temperature,
+            key0, self._tokens, self._temps, self._keys, cfg=self.cfg)
+        self._slots[slot] = req
+        self._record(req, int(tok0), float(logp0))
+
     def _service_fills(self) -> None:
         """Start/advance prompt prefills into free slots.
 
-        Each fill runs as a fresh B=1 prefill into the reusable (donated)
-        single-row cache; stale contents past the prompt stay masked out
-        by the slot's offset. With prompt_chunk the head runs as
-        fixed-size resumed chunks (bounded compiled-shape set); with
+        Prefix cache: the most recent completed prefill is kept (cache +
+        last logits, keyed by the prompt bytes), so a request repeating
+        the previous prompt inserts with ZERO device prefill work — the
+        dominant pattern of the sampling pipelines, which submit each
+        prompt n_sample_per_prompt times (reference `sample_model`,
+        semantic_design.py:271-427). Each request still gets its own
+        sampling key, so forked slots decode independently.
+
+        New prompts run as a fresh B=1 prefill into the scratch
+        single-row cache (donated through the chunks; stale contents
+        past the prompt stay masked out by the slot's offset). On
+        completion the filled scratch BECOMES the prefix cache and the
+        old prefix tree becomes the next scratch — two single-row caches
+        total, no per-fill allocation. With prompt_chunk the head runs
+        as fixed-size resumed chunks (bounded compiled-shape set); with
         prefill_chunks_per_sync > 0 at most that many chunks run per
         call, interleaving long prefills with decode."""
         budget = self.prefill_chunks_per_sync or float('inf')
@@ -315,6 +346,12 @@ class GenerationServer:
                 if not free or not self._queue:
                     return
                 req = self._queue.popleft()
+                if (self._prefix is not None
+                        and self._prefix['key'] == req.input_ids.tobytes()):
+                    self._insert_from(self._prefix['cache'],
+                                      self._prefix['last_logits'],
+                                      free[0], req)
+                    continue                 # no device prefill consumed
                 self._fill = {'slot': free[0], 'req': req,
                               'ids': jnp.asarray(req.input_ids)[None],
                               'pos': 0}
@@ -333,21 +370,20 @@ class GenerationServer:
                 return                       # mid-fill; decode continues
             budget -= 1                      # the tail chunk below
             req = f['req']
-            last_logits, self._prefill_cache = self.model(
+            last_logits, filled = self.model(
                 ids[:, head:], inference_params_dict=self._prefill_cache,
                 donate_cache=True, resume=head > 0)
-            req_key = jax.random.fold_in(self._base_key, req.seed)
-            tok0, logp0, key0 = _first_token(req_key, last_logits[:, -1],
-                                             self.top_k, self.top_p,
-                                             req.temperature)
-            (self._cache, self._tokens, self._temps,
-             self._keys) = _insert_slot(
-                self._cache, self._prefill_cache,
-                jnp.asarray(f['slot'], jnp.int32), tok0, req.temperature,
-                key0, self._tokens, self._temps, self._keys, cfg=self.cfg)
-            self._slots[f['slot']] = req
+            # swap: the filled scratch becomes the prefix cache; the old
+            # prefix tree (same shapes) becomes the next fill's scratch
+            if self._prefix is not None:
+                self._prefill_cache = self._prefix['cache']
+            else:
+                self._prefill_cache = self.model.\
+                    initialize_inference_params(1, self.max_len)
+            self._prefix = {'key': req.input_ids.tobytes(),
+                            'cache': filled, 'last_logits': last_logits}
+            self._insert_from(filled, last_logits, f['slot'], req)
             self._fill = None
-            self._record(req, int(tok0), float(logp0))
 
     def _record(self, req: _Request, token: int, logp: float) -> None:
         req.tokens.append(token)

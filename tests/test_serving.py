@@ -285,6 +285,69 @@ def test_serve_cli_jsonl_and_http(setup, tmp_path):
         loop.close()
 
 
+def test_prefix_cache_repeated_prompts_skip_prefill(setup):
+    """sample_model's pattern (one prompt x n samples): repeats of the
+    previous prompt insert from the prefix cache with zero prefill
+    calls, and every output still matches its individual generation."""
+    model, tok = setup
+
+    calls = {'prefill': 0}
+    real_call = model.__call__
+
+    def counting_call(ids, inference_params_dict=None, **kw):
+        if inference_params_dict is not None and ids.shape[1] > 1:
+            calls['prefill'] += 1
+        return real_call(ids, inference_params_dict=inference_params_dict,
+                         **kw)
+
+    class Spy:
+        def __getattr__(self, name):
+            return getattr(model, name)
+
+        def __call__(self, *a, **kw):
+            return counting_call(*a, **kw)
+
+    server = GenerationServer(Spy(), tok, max_slots=2, max_len=64,
+                              steps_per_sync=4, top_k=4, seed=3)
+    # 4 requests over 2 unique prompts: greedy + stochastic forks
+    r = [server.submit(prompt='ACGTACGTAC', num_tokens=6, temperature=0.0),
+         server.submit(prompt='ACGTACGTAC', num_tokens=6, temperature=1.0,
+                       seed=77),
+         server.submit(prompt='TTGGCCAATT', num_tokens=5, temperature=0.0),
+         server.submit(prompt='TTGGCCAATT', num_tokens=5, temperature=0.0)]
+    results = server.run()
+    assert calls['prefill'] == 2, calls      # one per unique prompt
+    np.testing.assert_array_equal(
+        results[r[0]].token_ids,
+        _greedy_reference(model, tok, 'ACGTACGTAC', 6))
+    for rid in (r[2], r[3]):
+        np.testing.assert_array_equal(
+            results[rid].token_ids,
+            _greedy_reference(model, tok, 'TTGGCCAATT', 5))
+    # the stochastic fork is deterministic per its own seed: rerun alone
+    solo = GenerationServer(model, tok, max_slots=2, max_len=64,
+                            steps_per_sync=4, top_k=4, seed=3)
+    rid = solo.submit(prompt='ACGTACGTAC', num_tokens=6, temperature=1.0,
+                      seed=77)
+    np.testing.assert_array_equal(results[r[1]].token_ids,
+                                  solo.run()[rid].token_ids)
+
+
+def test_prefix_cache_survives_interleaved_new_prompts(setup):
+    """A!=B alternation: only adjacent repeats hit the cache; outputs
+    stay exact either way (the prefix swap never corrupts state)."""
+    model, tok = setup
+    server = GenerationServer(model, tok, max_slots=2, max_len=64,
+                              steps_per_sync=2, prompt_chunk=4)
+    prompts = ['ACGTACGT', 'GATTACAGATT', 'ACGTACGT', 'GATTACAGATT',
+               'GATTACAGATT']
+    rids = [server.submit(prompt=p, num_tokens=4) for p in prompts]
+    results = server.run()
+    for rid, p in zip(rids, prompts):
+        np.testing.assert_array_equal(results[rid].token_ids,
+                                      _greedy_reference(model, tok, p, 4))
+
+
 def test_server_with_int8_weights_matches_int8_generator(setup):
     """The serving scheduler composes with the int8 weight-only mode: its
     greedy outputs equal the int8-quantized model's own Generator run
