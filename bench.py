@@ -173,7 +173,7 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
 def bench_serving(cfg, slots: int = 8, n_requests: int = 24,
                   prompt_len: int = 128, n_tokens: int = 256,
                   steps_per_sync: int = 32, quant: str = 'none',
-                  params=None):
+                  params=None, unique_prompts=None):
     """Continuous-batching server throughput (evo_tpu/serving.py):
     aggregate generated tokens/s over a stream of staggered requests with
     ragged output budgets sharing one `slots`-row decode cache. The
@@ -193,6 +193,11 @@ def bench_serving(cfg, slots: int = 8, n_requests: int = 24,
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 256, prompt_len).astype(np.int32)
                for _ in range(n_requests)]
+    if unique_prompts:
+        # repeated-prompt workload (the sampling pipelines' pattern):
+        # consecutive repeats hit the server's prefix cache
+        prompts = [prompts[(i * unique_prompts) // n_requests]
+                   for i in range(n_requests)]
     # ragged budgets (n_tokens/2 .. 3*n_tokens/2) force mid-stream slot
     # turnover; uniform prompt length keeps this a one-compile benchmark
     budgets = [int(n_tokens // 2 + rng.integers(0, n_tokens + 1))
