@@ -76,6 +76,49 @@ class NGramIndex:
         return np.full((gamma,), last, np.int32)
 
 
+def filtered_probs(logits_row: np.ndarray, temperature: float,
+                   top_k: int, top_p: float) -> np.ndarray:
+    """The sampling target distribution for one (V,) logits row —
+    identical semantics to ops/sampling.py (temperature scale, top-k,
+    nucleus with the top token always kept), computed host-side."""
+    z = logits_row.astype(np.float64) / max(temperature, 1e-6)
+    if 0 < top_k < z.size:
+        kth = np.partition(z, -top_k)[-top_k]
+        z = np.where(z < kth, -np.inf, z)
+    if top_p < 1.0:
+        order = np.argsort(z)[::-1]
+        zs = z[order]
+        ps = np.exp(zs - zs.max())
+        ps = ps / ps.sum()
+        cum = np.cumsum(ps)
+        keep = (cum - ps) < top_p
+        keep[0] = True
+        kth = zs[keep][-1]
+        z = np.where(z < kth, -np.inf, z)
+    z = z - z.max()
+    p = np.exp(z)
+    return p / p.sum()
+
+
+def accept_or_resample(rng: np.random.Generator, p: np.ndarray,
+                       proposal: int):
+    """Point-draft speculative sampling step: accept `proposal` with
+    probability p[proposal]; on rejection draw from the residual
+    (p with the proposal zeroed, renormalized). The emitted token is
+    exactly p-distributed:
+        P(j) = p[x][j==x] + (1 - p[x]) * p[j] * [j!=x] / (1 - p[x]).
+    Returns (accepted, token)."""
+    px = float(p[proposal])
+    if rng.random() < px:
+        return True, int(proposal)
+    residual = p.copy()
+    residual[proposal] = 0.0
+    total = residual.sum()
+    if total <= 0.0:          # p was a point mass at the proposal
+        return True, int(proposal)
+    return False, int(rng.choice(p.size, p=residual / total))
+
+
 @dataclasses.dataclass
 class SpecStats:
     cycles: int = 0
@@ -101,11 +144,25 @@ def generate_speculative(
     gamma: int = 8,
     ngram: int = 3,
     max_len: Optional[int] = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    seed: int = 0,
 ) -> Tuple[np.ndarray, List[float], SpecStats]:
-    """Greedy generation with n-gram speculation (module docstring).
+    """Generation with n-gram speculation (module docstring).
 
-    Returns (token_ids (num_tokens,) int32, per-token logprobs,
-    SpecStats). Token-exact vs ordinary greedy decoding.
+    temperature <= 0: greedy — token-exact vs ordinary greedy decoding.
+    temperature > 0: EXACT speculative sampling with a point-mass draft
+    (Leviathan-style rejection): proposal x is accepted with probability
+    p(x) under the temperature/top-k/top-p-filtered target distribution;
+    on rejection the correction is drawn from the residual (p with x
+    removed, renormalized), so every emitted token is distributed
+    exactly as ordinary autoregressive sampling
+    (tests/test_speculative.py verifies the marginals statistically and
+    the acceptance math against brute force).
+
+    Returns (token_ids (num_tokens,) int32, per-token logprobs under the
+    UNFILTERED distribution, SpecStats).
     """
     if input_ids is None:
         if prompt is None or tokenizer is None:
@@ -124,15 +181,26 @@ def generate_speculative(
     stats = SpecStats()
     spec = NGramIndex(ngram)
     spec.extend(ids[0])
+    greedy_mode = temperature <= 0.0
+    rng = np.random.default_rng(seed)
+
+    def choose(lg_row: np.ndarray) -> int:
+        """Sample/argmax the target distribution of one logits row."""
+        if greedy_mode:
+            return int(lg_row.argmax())
+        p = filtered_probs(lg_row, temperature, top_k, top_p)
+        return int(rng.choice(p.size, p=p))
 
     cache = model.initialize_inference_params(1, T)
     logits, cache = model(jnp.asarray(ids), inference_params_dict=cache,
                           donate_cache=True, resume=False)
     stats.device_calls += 1
-    logp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
-    t_last = int(jnp.argmax(logits[0, -1]))
+    row0 = np.asarray(logits[0, -1].astype(jnp.float32))
+    t_last = choose(row0)
+    m = row0.max()
     out: List[int] = [t_last]
-    logps: List[float] = [float(logp[t_last])]
+    logps: List[float] = [float(row0[t_last] - m
+                                - np.log(np.sum(np.exp(row0 - m))))]
     spec.extend([t_last])
 
     while len(out) < num_tokens:
@@ -146,21 +214,35 @@ def generate_speculative(
         stats.cycles += 1
         stats.proposed += gamma
         lg = np.asarray(logits[0].astype(jnp.float32))   # (g+1, V)
-        greedy = lg.argmax(axis=-1).astype(np.int32)     # (g+1,)
-        a = 0
-        while a < gamma and props[a] == greedy[a]:
-            a += 1
+        if greedy_mode:
+            greedy = lg.argmax(axis=-1).astype(np.int32)
+            a = 0
+            while a < gamma and props[a] == greedy[a]:
+                a += 1
+            correction = int(greedy[a])
+        else:
+            a = 0
+            correction = None
+            while a < gamma:
+                p = filtered_probs(lg[a], temperature, top_k, top_p)
+                ok, tok = accept_or_resample(rng, p, int(props[a]))
+                if not ok:
+                    correction = tok
+                    break
+                a += 1
+            if correction is None:            # all gamma accepted: bonus
+                correction = choose(lg[gamma])
         stats.accepted += a
-        # emitted this cycle: the accepted run + the correction token;
-        # token i was the argmax of row i, logprob via a stable softmax
-        emitted = list(props[:a]) + [int(greedy[a])]
+        # emitted this cycle: the accepted run + the correction/bonus
+        # token; logprobs under the UNFILTERED distribution of row i
+        emitted = list(int(t) for t in props[:a]) + [correction]
         for i, tok in enumerate(emitted):
             m = lg[i].max()
             logps.append(float(lg[i][tok] - m
                                - np.log(np.sum(np.exp(lg[i] - m)))))
-        out.extend(int(t) for t in emitted)
+        out.extend(emitted)
         spec.extend(emitted)
-        t_last = int(greedy[a])
+        t_last = correction
         if a == gamma:
             cache = cache_try           # fully consistent — keep it
         else:

@@ -45,11 +45,14 @@ def main():
                              'tokens through the resumable cache (bounded '
                              'activation memory for 131k-class prompts)')
     parser.add_argument('--speculative', type=int, default=0, metavar='G',
-                        help='greedy n-gram speculative decoding with G '
-                             'proposed tokens per verify pass '
-                             '(evo_tpu/speculative.py; token-exact vs '
-                             'greedy, big wins on repetitive sequence). '
-                             'Forces greedy sampling; 0 = off.')
+                        help='n-gram speculative decoding with G proposed '
+                             'tokens per verify pass '
+                             '(evo_tpu/speculative.py). Greedy is '
+                             'token-exact; with --temperature > 0 it is '
+                             'exact speculative SAMPLING (point-draft '
+                             'rejection, same distribution as plain '
+                             'sampling). Big wins on repetitive '
+                             'sequence; 0 = off.')
     parser.add_argument('--quant', default='none',
                         choices=['none', 'int8', 'int8x8', 'int4'],
                         help='opt-in serving precision (docs/serving.md): '
@@ -81,10 +84,12 @@ def main():
 
         from evo_tpu.speculative import generate_speculative
         seqs, scores = [], []
-        for _ in range(args.n_samples):
+        for i in range(args.n_samples):
             toks, logps, stats = generate_speculative(
                 evo.model, evo.tokenizer, prompt=args.prompt,
-                num_tokens=args.n_tokens, gamma=args.speculative)
+                num_tokens=args.n_tokens, gamma=args.speculative,
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p, seed=args.seed + i)
             seqs.append(evo.tokenizer.detokenize(toks.tolist()))
             scores.append(float(np.mean(logps)))
             if args.verbose:
