@@ -8,6 +8,15 @@ Example:
 
 from __future__ import annotations
 
+import os
+
+# honor JAX_PLATFORMS before any backend initializes: on machines with an
+# out-of-tree TPU plugin the env var alone loses to the plugin, but the
+# programmatic config wins (same trick as tests/conftest.py)
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
 import argparse
 
 from evo_tpu.generation import generate
