@@ -7,6 +7,13 @@ sigmoid fit of FoldDock: 0.724/(1+exp(-0.052 (x-152.611)))+0.018 on
 x = interface-pLDDT * log10(contacts+1)), and emit ranked/thresholded
 summaries. Same YAML schema and artifact names.
 
+One deliberate deviation: the reference reads chain-2 interface pLDDTs
+without the chain offset (`plddt[unique(contacts[:, 1])]` where
+contacts[:, 1] indexes the dists[:l1, l1:] SUBMATRIX — i.e., it samples
+chain-1 residues twice); `calc_pdockq` here applies the FoldDock `+ l1`
+offset, so if_pLDDT (and thus pDockQ) reflects the actual interface.
+Documented like the reference's 'GGU' codon typo (evo_tpu/utils.py).
+
 Usage: python -m semantic_design.pipelines.t2ta_cofold --config <yaml>
 """
 
