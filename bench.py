@@ -6,7 +6,8 @@ StripedHyena (evo-1-8k-base schema), batch 1 x 8192, bf16, random weights.
 hardware matmul roofline at this model's FLOPs/token (the reference publishes
 no throughput numbers - BASELINE.md).
 
-Usage: python bench.py [--preset prefill8k|prefill131k|decode|generate|scaling|tiny]
+Usage: python bench.py [--preset all|prefill8k|prefill131k|full131k|decode|
+                         generate|serving|speculative|scaling|tiny] [--verify]
 On non-TPU backends a scaled-down model with the same schema is used so the
 benchmark always produces a line.
 """
@@ -170,7 +171,7 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
     return batch * n_tokens / min(times)
 
 
-def bench_serving(cfg, slots: int = 8, n_requests: int = 24,
+def bench_serving(cfg, slots: int = 16, n_requests: int = 48,
                   prompt_len: int = 128, n_tokens: int = 256,
                   steps_per_sync: int = 32, quant: str = 'none',
                   params=None, unique_prompts=None):
@@ -568,8 +569,12 @@ def _run_all(args) -> None:
     def serving_row():
         # continuous-batching server over staggered ragged requests;
         # vs_baseline = speedup over the reference's serving pattern for
-        # mixed traffic (sequential B=1 at its HBM roofline)
-        tps = bench_serving(cfg8, params=params8())
+        # mixed traffic (sequential B=1 at its HBM roofline). 16 slots is
+        # the measured-best configuration (BASELINE.md 2026-08-18 slot
+        # sweep: 419 vs 237 tok/s at 8) and is memory-free at these
+        # context lengths (slot cost = per-position KV x max_len).
+        tps = bench_serving(cfg8, slots=16, n_requests=48,
+                            params=params8())
         return {'value': round(tps, 2),
                 'unit': 'generated tokens/s aggregate',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
@@ -613,6 +618,25 @@ def _run_all(args) -> None:
     # (fresh bf16 init + packed tree) and the most backend-flaky
     section('decode_fused_b1_int4',
             functools.partial(decode_row, 1, 'int4', None))
+
+    # full 131,072-token single-chip scoring (int8 weights + segmented
+    # resumable prefill): the capability row — the reference needs an
+    # 80 GB GPU for this context on one device. Needs real headroom
+    # (fresh 7B int8 init + a cold compile can take minutes), so it only
+    # runs when a generous slice of the budget remains.
+    def full131k_row():
+        tps = bench_full131k()
+        tgt131 = (0.5 * _chip_peak_flops()
+                  / _model_flops_per_token(cfg131))
+        return {'value': round(tps, 1), 'unit': 'tokens/s/chip',
+                'vs_baseline': round(tps / tgt131, 4)}
+    if left() > 300:
+        section('score_full_context_L131072_single_chip_int8',
+                full131k_row)
+    else:
+        extras['score_full_context_L131072_single_chip_int8'] = (
+            'skipped (budget; last measured 2026-08-19: 9489.2 tok/s/chip,'
+            ' vs_baseline 1.242 — BASELINE.md)')
 
     # fill in vs_baseline for the prefill extras (shared target)
     for k, tgt in (('prefill_8k_int8', target8),
@@ -691,7 +715,7 @@ def main():
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling', 'full131k',
                              'serving', 'speculative'])
-    ap.add_argument('--budget-s', type=float, default=1080.0,
+    ap.add_argument('--budget-s', type=float, default=1380.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
                          'warm reruns fit easily)')
