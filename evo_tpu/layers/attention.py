@@ -108,22 +108,15 @@ def _out(p, x_dtype, y, mesh=None, act_quant: bool = False):
 
 
 def _cp_reshard_qkv(cfg: ModelConfig, mesh, q, k, v):
-    """Pin q/k/v to the context-parallel attention layout.
-
-    'ulysses': heads sharded over (tp, cp), full sequence — the constraint
-    makes XLA insert the seq<->head all_to_all (the Ulysses reshard) on
-    entry; the attention core is then the plain dense/flash kernel.
-    'ring'/'zigzag': sequence stays sharded on cp, heads on tp; the ring
-    ops move KV blocks with ppermute instead.
+    """Pin q/k/v to the context-parallel attention layout: sequence on cp,
+    heads on tp (all modes). This is the layout the QKV einsum produces
+    naturally from a seq-sharded residual (x on cp, wqkv head-sharded on
+    tp), so the constraint inserts no collective; the cp ops then move
+    data explicitly (all_to_all for Ulysses, ppermute for ring/zigzag).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from evo_tpu.parallel.mesh import channel_axes
-    if cfg.cp_attn == 'ulysses':
-        spec = P('dp', None, channel_axes(mesh), None)
-    else:
-        spec = P('dp', 'cp', 'tp', None)
-    s = NamedSharding(mesh, spec)
+    s = NamedSharding(mesh, P('dp', 'cp', 'tp', None))
     return (jax.lax.with_sharding_constraint(q, s),
             jax.lax.with_sharding_constraint(k, s),
             jax.lax.with_sharding_constraint(v, s))
@@ -131,6 +124,14 @@ def _cp_reshard_qkv(cfg: ModelConfig, mesh, q, k, v):
 
 def _cp_attend(cfg: ModelConfig, mesh, q, k, v, use_pallas: bool):
     if cfg.cp_attn == 'ulysses':
+        from evo_tpu.ops.ulysses_attention import ulysses_attention
+        cp, tp = mesh.shape['cp'], mesh.shape['tp']
+        B, L, H, Dh = q.shape
+        if H % tp == 0 and (H // tp) % cp == 0 and L % cp == 0:
+            return ulysses_attention(q, k, v, mesh, axis_name='cp',
+                                     batch_axis='dp', head_axis='tp',
+                                     use_pallas=use_pallas)
+        # indivisible heads/length: dense GSPMD fallback (gathers seq)
         return sdpa_causal(q, k, v, use_pallas=use_pallas, mesh=mesh)
     from evo_tpu.ops.ring_attention import (ring_attention,
                                             zigzag_ring_attention)

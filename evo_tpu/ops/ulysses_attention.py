@@ -34,16 +34,26 @@ def _local_ulysses(q, k, v, *, axis_name: str, use_pallas: bool):
 
 
 def ulysses_attention(q, k, v, mesh: Mesh, axis_name: str = 'tp',
-                      batch_axis: str = 'dp', use_pallas: bool = False):
+                      batch_axis: str = 'dp', head_axis: str = None,
+                      use_pallas: bool = False):
     """Causal SDPA with L sharded over `axis_name`; result identical to
-    `sdpa_causal` (and to ring_attention)."""
+    `sdpa_causal` (and to ring_attention).
+
+    With `head_axis` set (the model's (dp, cp, tp) prefill path), heads
+    are additionally tensor-parallel-sharded: the local block is
+    (B/dp, L/cp, H/tp, Dh), and the all_to_all over `axis_name` further
+    splits the local head group cp ways while gathering the sequence —
+    Ulysses composed with TP, all collectives explicit (GSPMD left to
+    infer this reshard falls back to involuntary full rematerialization
+    around the out-projection; observed on the 131k tp=4 cp=2 compile)."""
     R = mesh.shape[axis_name]
     B, L, H, Dh = q.shape
-    if L % R or H % R:
+    H_local = H // mesh.shape[head_axis] if head_axis else H
+    if L % R or H_local % R or (head_axis and H % mesh.shape[head_axis]):
         raise ValueError(
-            f'Ulysses needs L ({L}) and heads ({H}) divisible by the '
-            f'mesh axis size ({R})')
-    spec = P(batch_axis, axis_name, None, None)
+            f'Ulysses needs L ({L}) and local heads ({H_local}) divisible '
+            f'by the mesh axis size ({R})')
+    spec = P(batch_axis, axis_name, head_axis, None)
     body = functools.partial(_local_ulysses, axis_name=axis_name,
                              use_pallas=use_pallas)
     return jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
