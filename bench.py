@@ -609,42 +609,34 @@ def _run_all(args) -> None:
                     functools.partial(decode_row, 1, 'int8', params_i8))
             del params_i8
 
-    cfg131 = config_for_model('evo-1-131k-base')
-    section('prefill_131k_config_L16384', lambda: {
-        'value': round(bench_prefill(cfg131, 1, 16384), 2),
-        'unit': 'tokens/s'})
+    # The remaining rows each need a FRESH 7B weight init (131k-config
+    # bf16 tree, int4 packed tree, int8 Evo instance). Run each in an
+    # isolated subprocess: the tunneled backend's allocator degrades
+    # after many 12.9 GB init/free cycles in one process (round-2 driver
+    # run: RESOURCE_EXHAUSTED on exactly the two rows that ran last,
+    # BENCH_r02.json), and a fresh process attaches cleanly even while
+    # this one holds its client (verified on axon). A per-row timeout
+    # also keeps a wedged backend from eating the whole budget.
+    for sect, key, floor_s, cap_s in (
+            ('p131', 'prefill_131k_config_L16384', 90, 480),
+            ('int4', 'decode_fused_b1_int4', 90, 480),
+            ('full131k', 'score_full_context_L131072_single_chip_int8',
+             300, 900)):
+        if left() < floor_s:
+            extras[key] = ('skipped (budget; see BASELINE.md for the '
+                           'last measured value)')
+            continue
+        res = _run_isolated(sect, min(left() + 30, cap_s))
+        if isinstance(res, str) and res.startswith('error') \
+                and left() > floor_s and 'timeout' not in res:
+            res = _run_isolated(sect, min(left() + 30, cap_s))
+        extras[key] = res
 
-    # int4 last: the memory-fit row is the most allocator-hungry
-    # (fresh bf16 init + packed tree) and the most backend-flaky
-    section('decode_fused_b1_int4',
-            functools.partial(decode_row, 1, 'int4', None))
-
-    # full 131,072-token single-chip scoring (int8 weights + segmented
-    # resumable prefill): the capability row — the reference needs an
-    # 80 GB GPU for this context on one device. Needs real headroom
-    # (fresh 7B int8 init + a cold compile can take minutes), so it only
-    # runs when a generous slice of the budget remains.
-    def full131k_row():
-        tps = bench_full131k()
-        tgt131 = (0.5 * _chip_peak_flops()
-                  / _model_flops_per_token(cfg131))
-        return {'value': round(tps, 1), 'unit': 'tokens/s/chip',
-                'vs_baseline': round(tps / tgt131, 4)}
-    if left() > 300:
-        section('score_full_context_L131072_single_chip_int8',
-                full131k_row)
-    else:
-        extras['score_full_context_L131072_single_chip_int8'] = (
-            'skipped (budget; last measured 2026-08-19: 9489.2 tok/s/chip,'
-            ' vs_baseline 1.242 — BASELINE.md)')
-
-    # fill in vs_baseline for the prefill extras (shared target)
-    for k, tgt in (('prefill_8k_int8', target8),
-                   ('prefill_131k_config_L16384',
-                    0.5 * _chip_peak_flops()
-                    / _model_flops_per_token(cfg131))):
-        if isinstance(extras.get(k), dict):
-            extras[k]['vs_baseline'] = round(extras[k]['value'] / tgt, 4)
+    # fill in vs_baseline for the int8 prefill row (isolated-row children
+    # compute their own)
+    if isinstance(extras.get('prefill_8k_int8'), dict):
+        extras['prefill_8k_int8']['vs_baseline'] = round(
+            extras['prefill_8k_int8']['value'] / target8, 4)
 
     print(json.dumps({
         'metric': 'prefill_tokens_per_sec_per_chip_evo-1-8k-base-7b',
@@ -655,6 +647,52 @@ def _run_all(args) -> None:
         'extras': extras,
         'bench_seconds': round(time.time() - t_start, 1),
     }))
+
+
+def _run_isolated(section: str, timeout_s: float):
+    """Run one bench section in a fresh python process (clean backend
+    allocator state) and return its parsed JSON row, or an error string."""
+    import subprocess
+
+    cmd = [sys.executable, __file__, '--section', section]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=max(60.0, timeout_s))
+    except subprocess.TimeoutExpired:
+        return f'error: timeout after {int(timeout_s)}s (isolated process)'
+    for line in reversed((r.stdout or '').strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    tail = [ln for ln in (r.stderr or '').strip().splitlines() if ln]
+    return 'error: ' + (tail[-1][:200] if tail
+                        else f'rc={r.returncode}, no output')
+
+
+def _run_section(section: str) -> None:
+    """Child entry for `_run_all`'s isolated rows: measure one row and
+    print it as a single JSON line."""
+    from evo_tpu.models import config_for_model
+
+    cfg8 = config_for_model('evo-1-8k-base')
+    cfg131 = config_for_model('evo-1-131k-base')
+    tgt131 = 0.5 * _chip_peak_flops() / _model_flops_per_token(cfg131)
+    if section == 'p131':
+        tps = bench_prefill(cfg131, 1, 16384)
+        row = {'value': round(tps, 2), 'unit': 'tokens/s',
+               'vs_baseline': round(tps / tgt131, 4)}
+    elif section == 'int4':
+        tps = bench_generate(cfg8, 1, quant='int4')
+        row = {'value': round(tps, 2), 'unit': 'tokens/s aggregate',
+               'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
+    elif section == 'full131k':
+        tps = bench_full131k()
+        row = {'value': round(tps, 1), 'unit': 'tokens/s/chip',
+               'vs_baseline': round(tps / tgt131, 4)}
+    else:
+        raise SystemExit(f'unknown section {section!r}')
+    print(json.dumps(row))
 
 
 def bench_scoring(cfg, n_seqs: int = 2, seq_len: int = 8191, params=None):
@@ -719,6 +757,10 @@ def main():
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
                          'warm reruns fit easily)')
+    ap.add_argument('--section', default=None,
+                    choices=('p131', 'int4', 'full131k'),
+                    help="internal: run ONE preset-'all' row in this "
+                         'process (used for allocator isolation)')
     ap.add_argument('--verify', action='store_true',
                     help='run ONLY the on-chip Pallas kernel verification '
                          'and exit (also included in preset all)')
@@ -742,6 +784,12 @@ def main():
     from evo_tpu.config import tiny_config
 
     on_tpu = jax.default_backend() == 'tpu'
+
+    if args.section:
+        if not on_tpu:
+            raise SystemExit('--section requires a TPU backend')
+        _run_section(args.section)
+        return
 
     if args.verify:
         kv = kernel_verify() if on_tpu else {
