@@ -217,8 +217,17 @@ def quantize_params(params: Any, free_source: bool = False,
         raise ValueError(f'unknown quantization mode {mode!r}')
     qw = jax.jit(quantize_weight, static_argnums=1)
     qw4 = jax.jit(quantize_weight_int4, static_argnums=1)
-    qw4_stacked = jax.jit(jax.vmap(quantize_weight_int4, in_axes=(0, None)),
-                          static_argnums=1)
+
+    def stacked_map(fn, leaf, arg):
+        # Per-layer quantization of a stacked hyena-run leaf. The one-shot
+        # (vmapped) form materializes an f32 copy of the WHOLE stack next
+        # to the still-live bf16 tree — ~1.6 GB of temp for the 7B stacked
+        # MLP leaves, enough to push a 16 GB chip into RESOURCE_EXHAUSTED
+        # during int4 conversion (observed in the round-3 bench). Layer-
+        # at-a-time bounds the temps to one slice (~200 MB).
+        parts = [fn(leaf[i], arg) for i in range(leaf.shape[0])]
+        jax.block_until_ready(parts)
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *parts)
 
     def visit(path, leaf):
         keys = [getattr(k, 'key', None) for k in path]
@@ -242,11 +251,10 @@ def quantize_params(params: Any, free_source: bool = False,
         if mode == 'int4':
             # contraction axes are leading-contiguous for every family
             nc = len(_QUANT_AXES[name])
-            out = (qw4_stacked if stacked else qw4)(leaf, nc)
+            out = stacked_map(qw4, leaf, nc) if stacked else qw4(leaf, nc)
         else:
-            shift = 1 if stacked else 0
-            axes = tuple(a + shift for a in _QUANT_AXES[name])
-            out = qw(leaf, axes)
+            axes = _QUANT_AXES[name]
+            out = stacked_map(qw, leaf, axes) if stacked else qw(leaf, axes)
         if free_source and isinstance(leaf, jax.Array):
             jax.block_until_ready(out)
             leaf.delete()
