@@ -171,7 +171,7 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
     return batch * n_tokens / min(times)
 
 
-def bench_serving(cfg, slots: int = 16, n_requests: int = 48,
+def bench_serving(cfg, slots: int = 48, n_requests: int = 144,
                   prompt_len: int = 128, n_tokens: int = 256,
                   steps_per_sync: int = 32, quant: str = 'none',
                   params=None, unique_prompts=None):
@@ -571,12 +571,12 @@ def _run_all(args) -> None:
     def serving_row():
         # continuous-batching server over staggered ragged requests;
         # vs_baseline = speedup over the reference's serving pattern for
-        # mixed traffic (sequential B=1 at its HBM roofline). 16 slots is
-        # the measured-best configuration (BASELINE.md 2026-08-18 slot
-        # sweep: 419 vs 237 tok/s at 8) and is memory-free at these
-        # context lengths (slot cost = per-position KV x max_len).
-        tps = bench_serving(cfg8, slots=16, n_requests=48,
-                            params=params8())
+        # mixed traffic (sequential B=1 at its HBM roofline). 48 slots:
+        # the 2026-08-19 sweep measured 427/561/640/703/815/875 tok/s at
+        # 16/24/32/40/48/64 slots — weight reads keep amortizing — and 48
+        # keeps ~2 GB more headroom than 64 (96 OOMs). Slot memory at
+        # these context lengths is per-position KV x max_len x slots.
+        tps = bench_serving(cfg8, params=params8())
         return {'value': round(tps, 2),
                 'unit': 'generated tokens/s aggregate',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
