@@ -223,6 +223,89 @@ def bench_serving(cfg, slots: int = 48, n_requests: int = 144,
     return toks / min(times)
 
 
+def bench_serving_latency(cfg, slots: int = 48, n_requests: int = 96,
+                          prompt_len: int = 128, n_tokens: int = 256,
+                          rate_rps: float = None, steps_per_sync: int = 8,
+                          params=None):
+    """Open-loop serving latency: requests arrive on a seeded Poisson
+    clock at `rate_rps` (default ~80% of the measured 48-slot capacity)
+    and each request's time-to-first-token and per-output-token latency
+    are measured on the host clock at step()-sync granularity. This is
+    the serving metric pair raw throughput hides: a scheduler can look
+    fast while individual requests crawl. The reference's serving
+    pattern (sequential B=1, `evo/generation.py:238-253`) would give a
+    queueing TTFT of (position in queue) x (full generation time) under
+    the same traffic.
+
+    Returns (aggregate tokens/s, stats dict with ttft/tpot percentiles).
+    """
+    from evo_tpu.models import EvoModel
+    from evo_tpu.serving import GenerationServer
+
+    if params is None:
+        params = _init_params(cfg)
+    model = EvoModel(cfg, params)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 256, prompt_len).astype(np.int32)
+               for _ in range(n_requests)]
+    budgets = [int(n_tokens // 2 + rng.integers(0, n_tokens + 1))
+               for _ in range(n_requests)]
+    if rate_rps is None:
+        # ~80% of the measured 48-slot aggregate capacity (BASELINE.md
+        # 2026-08-19 sweep: ~815 tok/s) over the mean request budget —
+        # loaded but stable, the regime latency numbers mean something in
+        rate_rps = 0.8 * 815.0 / float(np.mean(budgets))
+    gaps = rng.exponential(1.0 / rate_rps, n_requests)
+    arrivals = np.cumsum(gaps)
+
+    def run():
+        server = GenerationServer(model, max_slots=slots,
+                                  max_len=prompt_len + 2 * n_tokens + 8,
+                                  steps_per_sync=steps_per_sync)
+        rids, submit_t, first_t, done_t = [], {}, {}, {}
+        t0 = time.perf_counter()
+        nxt = 0
+        while len(done_t) < n_requests:
+            now = time.perf_counter() - t0
+            while nxt < n_requests and arrivals[nxt] <= now:
+                rid = server.submit(input_ids=prompts[nxt],
+                                    num_tokens=budgets[nxt],
+                                    temperature=0.0)
+                rids.append(rid)
+                submit_t[rid] = time.perf_counter() - t0
+                nxt += 1
+            if server.pending == 0:
+                # idle: sleep to the next arrival instead of spinning
+                time.sleep(min(max(arrivals[nxt] - now, 0.0), 0.05)
+                           if nxt < n_requests else 0.0)
+                continue
+            server.step()
+            now = time.perf_counter() - t0
+            for rid in rids:
+                if rid not in first_t and server.progress(rid) > 0:
+                    first_t[rid] = now
+                if rid not in done_t and server.result(rid) is not None:
+                    done_t[rid] = now
+        total = time.perf_counter() - t0
+        toks = sum(len(server.result(r).token_ids) for r in rids)
+        ttft = np.asarray([first_t[r] - submit_t[r] for r in rids])
+        tpot = np.asarray([
+            (done_t[r] - first_t[r]) / max(1, len(server.result(r).token_ids) - 1)
+            for r in rids])
+        return toks / total, ttft, tpot
+
+    run()                                    # compile + warmup
+    tps, ttft, tpot = run()
+    stats = {
+        'rate_rps': round(float(rate_rps), 3),
+        'ttft_p50_ms': round(float(np.percentile(ttft, 50)) * 1e3, 1),
+        'ttft_p95_ms': round(float(np.percentile(ttft, 95)) * 1e3, 1),
+        'tpot_p50_ms': round(float(np.percentile(tpot, 50)) * 1e3, 1),
+        'tpot_p95_ms': round(float(np.percentile(tpot, 95)) * 1e3, 1),
+    }
+    return tps, stats
+
+
 def bench_speculative(cfg, num_tokens: int = 256, gamma: int = 8,
                       quant: str = 'none'):
     """n-gram speculative greedy decode on a repetitive prompt (the
@@ -582,6 +665,14 @@ def _run_all(args) -> None:
                 'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
     section('serving_continuous_batching', serving_row)
 
+    def latency_row():
+        tps, stats = bench_serving_latency(cfg8, params=params8())
+        return {'value': round(tps, 2),
+                'unit': 'generated tokens/s aggregate (open-loop)',
+                'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4),
+                **stats}
+    section('serving_latency_poisson', latency_row)
+
     for batch in (1, 8):
         section(f'decode_fused_b{batch}',
                 functools.partial(decode_row, batch, 'none',
@@ -754,7 +845,7 @@ def main():
     ap.add_argument('--preset', default='all',
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling', 'full131k',
-                             'serving', 'speculative'])
+                             'serving', 'serving_latency', 'speculative'])
     ap.add_argument('--budget-s', type=float, default=1380.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
@@ -879,6 +970,16 @@ def main():
                 'vs_baseline': round(tps / _decode_roofline(cfg, 1), 4),
                 'acceptance_rate': round(stats.acceptance_rate, 4),
                 'tokens_per_device_call': round(stats.tokens_per_call, 4),
+            }))
+            return
+        if args.preset == 'serving_latency':
+            tps, stats = bench_serving_latency(cfg)
+            print(json.dumps({
+                'metric': f'serving_latency_poisson_{name}',
+                'value': round(tps, 2),
+                'unit': 'generated tokens/s aggregate (open-loop)',
+                'vs_baseline': round(tps / _decode_roofline(cfg, 1), 4),
+                **stats,
             }))
             return
         if args.preset == 'serving':

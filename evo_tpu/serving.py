@@ -443,6 +443,14 @@ class GenerationServer:
     def result(self, rid: int) -> Optional[GenerationResult]:
         return self._results.get(rid)
 
+    def progress(self, rid: int) -> int:
+        """Tokens generated so far for request `rid` (0 while queued /
+        unknown). Host-visible after each step() sync — the hook the
+        latency benchmark (and a streaming API) needs to timestamp
+        first-token emission."""
+        req = self._requests.get(rid)
+        return 0 if req is None else len(req.tokens)
+
     @property
     def pending(self) -> int:
         return (len(self._queue) + sum(r is not None for r in self._slots)

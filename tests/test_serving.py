@@ -107,6 +107,27 @@ def test_server_late_submission_joins_running_batch(setup):
         results[r1].token_ids, _greedy_reference(model, tok, 'TTGG', 5))
 
 
+def test_server_progress_is_monotonic_and_host_visible(setup):
+    """progress(rid): 0 while queued, strictly grows across step() syncs,
+    and ends at the request's budget — the hook the open-loop latency
+    benchmark uses to timestamp first-token emission (bench.py)."""
+    model, tok = setup
+    server = GenerationServer(model, tok, max_slots=1, max_len=64,
+                              steps_per_sync=2)
+    r0 = server.submit(prompt='ACGTACGT', num_tokens=9)
+    r1 = server.submit(prompt='TTGG', num_tokens=5)   # queued behind r0
+    assert server.progress(r0) == 0 and server.progress(r1) == 0
+    assert server.progress(12345) == 0                # unknown rid
+    server.step()
+    p0 = server.progress(r0)
+    assert p0 >= 1                  # insertion samples the first token
+    assert server.progress(r1) == 0  # single slot: r1 still queued
+    server.step()
+    assert server.progress(r0) > p0
+    server.run()
+    assert server.progress(r0) == 9 and server.progress(r1) == 5
+
+
 def test_server_stop_token_ends_request_early(setup):
     model, tok = setup
     # greedy from this model is deterministic: find the first emitted token
