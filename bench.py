@@ -671,7 +671,14 @@ def _run_all(args) -> None:
                 'unit': 'generated tokens/s aggregate (open-loop)',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4),
                 **stats}
-    section('serving_latency_poisson', latency_row)
+    # guarded tighter than the generic budget gate: two open-loop runs +
+    # a cold sps=8 decode compile can cost ~6 min, and the isolated rows
+    # at the end (incl. the flagship full-131k row) matter more
+    if left() > 600:
+        section('serving_latency_poisson', latency_row)
+    else:
+        extras['serving_latency_poisson'] = ('skipped (budget; see '
+                                             'BASELINE.md)')
 
     for batch in (1, 8):
         section(f'decode_fused_b{batch}',
