@@ -185,11 +185,14 @@ class _Request:
 class GenerationResult:
     """One finished request: generated token ids, detokenized sequence
     (when the server has a tokenizer), and the mean log-prob of the
-    generated tokens under the distributions they were sampled from."""
+    generated tokens under the distributions they were sampled from.
+    `cancelled` marks a request ended early by `cancel()` — token_ids
+    holds whatever was generated before the cancel."""
     rid: int
     token_ids: np.ndarray
     sequence: Optional[str]
     score: float
+    cancelled: bool = False
 
 
 class GenerationServer:
@@ -391,13 +394,17 @@ class GenerationServer:
         if (len(req.tokens) >= req.num_tokens
                 or (self.stop_token is not None
                     and token == self.stop_token)):
-            req.done = True
-            ids = np.asarray(req.tokens, dtype=np.int32)
-            seq = (self.tokenizer.detokenize(ids.tolist())
-                   if self.tokenizer is not None else None)
-            self._results[req.rid] = GenerationResult(
-                rid=req.rid, token_ids=ids, sequence=seq,
-                score=float(np.mean(req.logps)))
+            self._finalize(req)
+
+    def _finalize(self, req: _Request, cancelled: bool = False) -> None:
+        req.done = True
+        ids = np.asarray(req.tokens, dtype=np.int32)
+        seq = (self.tokenizer.detokenize(ids.tolist())
+               if self.tokenizer is not None else None)
+        score = float(np.mean(req.logps)) if req.logps else float('nan')
+        self._results[req.rid] = GenerationResult(
+            rid=req.rid, token_ids=ids, sequence=seq, score=score,
+            cancelled=cancelled)
 
     def _harvest(self, emitted: np.ndarray, logps: np.ndarray) -> None:
         """emitted/logps: (steps, B) from one decode chunk."""
@@ -450,6 +457,38 @@ class GenerationServer:
         first-token emission."""
         req = self._requests.get(rid)
         return 0 if req is None else len(req.tokens)
+
+    def tokens_so_far(self, rid: int) -> List[int]:
+        """Copy of the tokens generated so far (streaming consumers;
+        grows at step()-sync granularity; complete once result(rid)
+        exists)."""
+        req = self._requests.get(rid)
+        return [] if req is None else list(req.tokens)
+
+    def cancel(self, rid: int) -> bool:
+        """End request `rid` early. Returns True if it was still queued,
+        mid-prefill, or decoding — its result is finalized immediately
+        with the tokens generated so far and `cancelled=True`, and its
+        slot frees for the next queued request at the coming step().
+        False if unknown or already finished. Slot state needs no
+        scrubbing: inactive rows keep stepping harmlessly and are fully
+        overwritten at the next insert (module docstring)."""
+        req = self._requests.get(rid)
+        if req is None or req.done:
+            return False
+        if req in self._queue:
+            self._queue.remove(req)
+        elif self._fill is not None and self._fill['req'] is req:
+            # drop the partial prefill; the scratch cache is reused by
+            # the next fill (fresh prefills rewrite it from position 0)
+            self._fill = None
+        else:
+            for i, r in enumerate(self._slots):
+                if r is req:
+                    self._slots[i] = None
+                    break
+        self._finalize(req, cancelled=True)
+        return True
 
     @property
     def pending(self) -> int:
@@ -505,6 +544,32 @@ class ServerLoop:
                     return None
                 self._cv.wait(timeout=0.5 if rem is None else min(rem, 0.5))
             return self.server.result(rid)
+
+    def stream(self, rid: int):
+        """Yield request `rid`'s generated token ids as they become
+        host-visible (per decode-chunk sync — tokens arrive in bursts of
+        up to steps_per_sync). Ends when the request finishes or is
+        cancelled; the HTTP /stream endpoint and any incremental
+        consumer sit on this."""
+        sent = 0
+        while True:
+            with self._cv:
+                toks = self.server.tokens_so_far(rid)
+                done = self.server.result(rid) is not None
+                if len(toks) == sent and not done:
+                    self._cv.wait(timeout=0.5)
+                    continue
+            for t in toks[sent:]:
+                yield int(t)
+            sent = len(toks)
+            if done:
+                return
+
+    def cancel(self, rid: int) -> bool:
+        with self._cv:
+            ok = self.server.cancel(rid)
+            self._cv.notify_all()
+            return ok
 
     def close(self):
         with self._cv:

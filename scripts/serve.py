@@ -60,12 +60,15 @@ def _build_model(args):
 
 
 def _result_line(rid, req_id, res) -> str:
-    return json.dumps({
+    out = {
         'id': req_id if req_id is not None else rid,
         'sequence': res.sequence,
         'num_tokens': int(len(res.token_ids)),
         'score': res.score,
-    })
+    }
+    if res.cancelled:
+        out['cancelled'] = True
+    return json.dumps(out)
 
 
 def run_jsonl(args, server: GenerationServer) -> None:
@@ -112,13 +115,25 @@ def make_http_server(args, server: GenerationServer):
             else:
                 self._send(404, {'error': 'unknown path'})
 
+        def _read_json(self) -> dict:
+            length = int(self.headers.get('Content-Length', 0))
+            return json.loads(self.rfile.read(length) or b'{}')
+
         def do_POST(self):
-            if self.path != '/generate':
+            if self.path == '/cancel':
+                try:
+                    req = self._read_json()
+                    rid = int(req['id'])
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._send(400, {'error': str(e)})
+                    return
+                self._send(200, {'id': rid, 'cancelled': loop.cancel(rid)})
+                return
+            if self.path not in ('/generate', '/stream'):
                 self._send(404, {'error': 'unknown path'})
                 return
             try:
-                length = int(self.headers.get('Content-Length', 0))
-                req = json.loads(self.rfile.read(length) or b'{}')
+                req = self._read_json()
                 rid = loop.submit(
                     prompt=req['prompt'],
                     num_tokens=int(req.get('num_tokens', args.n_tokens)),
@@ -126,6 +141,28 @@ def make_http_server(args, server: GenerationServer):
                                               args.temperature)))
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {'error': str(e)})
+                return
+            if self.path == '/stream':
+                # chunked streaming: one JSON line per host-visible token
+                # burst (step()-sync granularity), then a final line with
+                # the completed result
+                self.send_response(200)
+                self.send_header('Content-Type', 'application/x-ndjson')
+                self.send_header('Transfer-Encoding', 'chunked')
+                self.end_headers()
+
+                def chunk(payload: dict) -> None:
+                    body = (json.dumps(payload) + '\n').encode()
+                    self.wfile.write(f'{len(body):x}\r\n'.encode()
+                                     + body + b'\r\n')
+                try:
+                    for tok in loop.stream(rid):
+                        chunk({'id': rid, 'token': tok})
+                    res = loop.server.result(rid)
+                    chunk(json.loads(_result_line(rid, req.get('id'), res)))
+                    self.wfile.write(b'0\r\n\r\n')
+                except BrokenPipeError:
+                    loop.cancel(rid)     # client went away: free the slot
                 return
             res = loop.wait(rid, timeout=args.request_timeout)
             if res is None:

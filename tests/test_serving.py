@@ -256,6 +256,48 @@ def test_server_loop_threadsafe_submit_and_wait(setup):
                                       _greedy_reference(model, tok, p, 6))
 
 
+def test_server_cancel_queued_and_active(setup):
+    """cancel(): a queued request finalizes empty, an active request
+    finalizes with its tokens-so-far (a greedy-reference prefix), the
+    freed slot serves the next request, and double-cancel is False."""
+    model, tok = setup
+    server = GenerationServer(model, tok, max_slots=1, max_len=64,
+                              steps_per_sync=2)
+    r0 = server.submit(prompt='ACGTACGT', num_tokens=12)
+    r1 = server.submit(prompt='TTGG', num_tokens=5)      # queued behind r0
+    server.step()
+    assert server.cancel(r1)
+    res1 = server.result(r1)
+    assert res1.cancelled and len(res1.token_ids) == 0
+    p0 = server.progress(r0)
+    assert p0 >= 1
+    assert server.cancel(r0)
+    res0 = server.result(r0)
+    assert res0.cancelled and len(res0.token_ids) == p0
+    np.testing.assert_array_equal(
+        res0.token_ids, _greedy_reference(model, tok, 'ACGTACGT', 12)[:p0])
+    assert not server.cancel(r0)                          # already done
+    assert not server.cancel(98765)                       # unknown rid
+    r2 = server.submit(prompt='GATTACA', num_tokens=6)    # reuses the slot
+    results = server.run()
+    np.testing.assert_array_equal(
+        results[r2].token_ids, _greedy_reference(model, tok, 'GATTACA', 6))
+
+
+def test_server_loop_stream_yields_full_sequence(setup):
+    """ServerLoop.stream(): incremental tokens equal the final result."""
+    from evo_tpu.serving import ServerLoop
+    model, tok = setup
+    loop = ServerLoop(GenerationServer(model, tok, max_slots=2, max_len=64,
+                                       steps_per_sync=2))
+    rid = loop.submit(prompt='ACGTACGT', num_tokens=9)
+    toks = list(loop.stream(rid))
+    loop.close()
+    np.testing.assert_array_equal(
+        np.asarray(toks, np.int32),
+        _greedy_reference(model, tok, 'ACGTACGT', 9))
+
+
 def test_serve_cli_jsonl_and_http(setup, tmp_path):
     """scripts/serve.py surfaces: JSONL batch mode and the HTTP server."""
     import json
@@ -301,6 +343,18 @@ def test_serve_cli_jsonl_and_http(setup, tmp_path):
         health = json.loads(urllib.request.urlopen(
             f'http://127.0.0.1:{port}/health', timeout=30).read())
         assert health['ok'] is True
+        # /stream: NDJSON token lines then the final result line
+        resp = urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/stream', data=body, timeout=120)
+        lines = [json.loads(x) for x in resp.read().splitlines()]
+        toks = [x['token'] for x in lines if 'token' in x]
+        np.testing.assert_array_equal(np.asarray(toks, np.int32), want_a)
+        assert lines[-1]['sequence'] == tok.detokenize(want_a.tolist())
+        # /cancel on an unknown id is a clean negative
+        resp = json.loads(urllib.request.urlopen(
+            f'http://127.0.0.1:{port}/cancel',
+            data=json.dumps({'id': 99999}).encode(), timeout=30).read())
+        assert resp == {'id': 99999, 'cancelled': False}
     finally:
         httpd.shutdown()
         loop.close()
