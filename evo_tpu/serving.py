@@ -20,9 +20,11 @@ TPU-first design:
     request mix, so nothing recompiles as traffic changes.
   * **Slot insertion is a device-side scatter.** A new request is
     prefilled at B=1 (the model's normal chunked-conv prefill fills a
-    single-row cache), then `_insert_slot` writes that row into the batch
-    cache with `dynamic_update_slice` under jit — no host round-trip of
-    cache contents (the KV rows alone are ~100 MB at 7B/8k).
+    single-row cache), then `_admit_slot` samples its first token AND
+    writes that row into the batch cache with `dynamic_update_slice` in
+    one fused jit program — no host round-trip of cache contents (the
+    KV rows alone are ~100 MB at 7B/8k) and one dispatch per admission
+    instead of two (~28 ms each on the tunneled backend).
   * **Decode runs in chunks of `steps_per_sync` steps under one
     `lax.scan`** with the cache donated, so the host syncs (and fills
     free slots) every K tokens instead of every token — on the tunneled
@@ -116,16 +118,31 @@ def _decode_chunk(params, tokens, cache, keys, temps, *, cfg: ModelConfig,
     return tokens, cache, keys, emitted, logps
 
 
-@functools.partial(jax.jit, static_argnames=('cfg',),
+@functools.partial(jax.jit,
+                   static_argnames=('cfg', 'top_k', 'top_p'),
                    donate_argnames=('batch_cache',))
-def _insert_slot(batch_cache, single_cache, slot, tok0, temp0, key0,
-                 tokens, temps, keys, *, cfg: ModelConfig):
-    """Scatter a freshly-prefilled single-row cache into slot `slot`.
+def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
+                base_key, seed, tokens, temps, keys, *, cfg: ModelConfig,
+                top_k: int, top_p: float):
+    """Admit a freshly-prefilled request in ONE device program: sample
+    its first token from the prefill's last logits with the request's
+    own key, then scatter the single-row cache into slot `slot`.
+
+    One fused dispatch instead of the original sample + insert pair —
+    on the tunneled backend each dispatch costs ~28 ms
+    (docs/performance.md), which at serving admission rates was ~9% of
+    wall clock. Returns (cache, tokens, temps, keys, tok0, logp0); the
+    host reads tok0/logp0 back once for bookkeeping.
 
     batch_cache: offset (B,), attn KV (B, T, ...), hyena state (n, B, ...).
     single_cache: the B=1 twin (same T). slot is traced — one compiled
     program serves every slot index.
     """
+    req_key = jax.random.fold_in(base_key, seed)
+    nxt, sub = _split_slot_keys(req_key[None])
+    tok0, logp0 = _sample_slots(sub, last_logits, top_k, top_p,
+                                jnp.asarray([temp0], jnp.float32))
+    tok0, logp0, key0 = tok0[0], logp0[0], nxt[0]
     new_layers = []
     for (kind, _idxs), bl, sl in zip(cfg.layer_segments(),
                                      batch_cache['layers'],
@@ -151,18 +168,8 @@ def _insert_slot(batch_cache, single_cache, slot, tok0, temp0, key0,
     temps = jax.lax.dynamic_update_slice(
         temps, jnp.asarray(temp0, jnp.float32)[None], (slot,))
     keys = jax.lax.dynamic_update_slice(keys, key0[None], (slot, 0))
-    return ({'offset': offset, 'layers': new_layers}, tokens, temps, keys)
-
-
-@functools.partial(jax.jit, static_argnames=('top_k', 'top_p'))
-def _first_token(key, last_logits, top_k: int, top_p: float, temp):
-    """Sample the request's first token from the prefill's last logit
-    with the request's own key; returns (token, logp, next slot key)."""
-    nxt, sub = _split_slot_keys(key[None])
-    tok, logp = _sample_slots(sub, last_logits,
-                              top_k, top_p,
-                              jnp.asarray([temp], jnp.float32))
-    return tok[0], logp[0], nxt[0]
+    return ({'offset': offset, 'layers': new_layers}, tokens, temps, keys,
+            tok0, logp0)
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +264,8 @@ class GenerationServer:
         self._keys = jnp.zeros((max_slots, 2), jnp.uint32)
 
         self._queue: deque[_Request] = deque()
+        # deferred (req, tok0_dev, logp0_dev) admission scalars
+        self._pending_first: List[tuple] = []
         self._slots: List[Optional[_Request]] = [None] * max_slots
         self._requests: Dict[int, _Request] = {}
         self._results: Dict[int, GenerationResult] = {}
@@ -310,17 +319,33 @@ class GenerationServer:
         """Sample the request's first token and scatter `single_cache`
         into `slot` (single_cache is NOT donated — it doubles as the
         prefix cache for identical follow-up prompts)."""
-        req_key = jax.random.fold_in(self._base_key, req.seed)
-        tok0, logp0, key0 = _first_token(req_key, last_logits[:, -1],
-                                         self.top_k, self.top_p,
-                                         req.temperature)
-        (self._cache, self._tokens, self._temps,
-         self._keys) = _insert_slot(
+        (self._cache, self._tokens, self._temps, self._keys,
+         tok0, logp0) = _admit_slot(
             self._cache, single_cache,
-            jnp.asarray(slot, jnp.int32), tok0, req.temperature,
-            key0, self._tokens, self._temps, self._keys, cfg=self.cfg)
+            jnp.asarray(slot, jnp.int32), last_logits[:, -1],
+            req.temperature, self._base_key,
+            jnp.asarray(req.seed, jnp.int32), self._tokens, self._temps,
+            self._keys, cfg=self.cfg, top_k=self.top_k, top_p=self.top_p)
         self._slots[slot] = req
-        self._record(req, int(tok0), float(logp0))
+        # DEFER the first-token readback: a device_get here would block
+        # on the whole queued device pipeline (prefill + admit) per
+        # admission — measured ~9% of serving wall clock. The scalars
+        # stay on device until the next host observation point
+        # (_flush_firsts), which fetches every pending pair in one
+        # batched transfer.
+        self._pending_first.append((req, tok0, logp0))
+
+    def _flush_firsts(self) -> None:
+        """Materialize deferred first-token scalars (one batched
+        device_get) and run their bookkeeping. Called before any host
+        observation of tokens/results (harvest, progress, results,
+        cancel), so the deferral is invisible to callers."""
+        if not self._pending_first:
+            return
+        pend, self._pending_first = self._pending_first, []
+        vals = jax.device_get([(t, l) for _, t, l in pend])
+        for (req, _, _), (t, l) in zip(pend, vals):
+            self._record(req, int(t), float(l))
 
     def _service_fills(self) -> None:
         """Start/advance prompt prefills into free slots.
@@ -408,6 +433,7 @@ class GenerationServer:
 
     def _harvest(self, emitted: np.ndarray, logps: np.ndarray) -> None:
         """emitted/logps: (steps, B) from one decode chunk."""
+        self._flush_firsts()     # first tokens precede this chunk's
         for step in range(emitted.shape[0]):
             for slot, req in enumerate(self._slots):
                 if req is None or req.done:
@@ -443,11 +469,13 @@ class GenerationServer:
         """Drive the loop until every submitted request has finished."""
         while self._queue or any(self._slots) or self._fill is not None:
             self.step()
+        self._flush_firsts()
         return dict(self._results)
 
     # -- results -------------------------------------------------------------
 
     def result(self, rid: int) -> Optional[GenerationResult]:
+        self._flush_firsts()
         return self._results.get(rid)
 
     def progress(self, rid: int) -> int:
@@ -455,6 +483,7 @@ class GenerationServer:
         unknown). Host-visible after each step() sync — the hook the
         latency benchmark (and a streaming API) needs to timestamp
         first-token emission."""
+        self._flush_firsts()
         req = self._requests.get(rid)
         return 0 if req is None else len(req.tokens)
 
@@ -462,6 +491,7 @@ class GenerationServer:
         """Copy of the tokens generated so far (streaming consumers;
         grows at step()-sync granularity; complete once result(rid)
         exists)."""
+        self._flush_firsts()
         req = self._requests.get(rid)
         return [] if req is None else list(req.tokens)
 
@@ -473,6 +503,7 @@ class GenerationServer:
         False if unknown or already finished. Slot state needs no
         scrubbing: inactive rows keep stepping harmlessly and are fully
         overwritten at the next insert (module docstring)."""
+        self._flush_firsts()
         req = self._requests.get(rid)
         if req is None or req.done:
             return False
