@@ -31,10 +31,11 @@ TPU-first design:
     backend one dispatch costs ~28 ms (docs/performance.md), which would
     otherwise dominate a ~19 ms/step decode. Slots that finish mid-chunk
     discard at most K-1 excess tokens.
-  * **Per-slot sampling params.** Temperature is a (B,) vector (0 =
-    greedy, resolved with `jnp.where`, not control flow); top-k/top-p are
-    server-static (they select the compiled filter composition,
-    ops/sampling.py).
+  * **Per-slot sampling params.** Temperature, top-k, and top-p are all
+    (B,) traced vectors (temperature 0 = greedy, resolved with
+    `jnp.where`, not control flow; per-row sort-based k/p thresholds in
+    `_sample_slots`) — every request carries its own sampling
+    parameters and nothing recompiles as the mix changes.
 
 Inactive slots keep stepping with stale state — their outputs are
 discarded and their cache rows are fully overwritten at the next insert,
@@ -55,33 +56,58 @@ import numpy as np
 from evo_tpu import model as model_lib
 from evo_tpu.config import ModelConfig
 from evo_tpu.layers.hyena import HyenaState
-from evo_tpu.ops.sampling import top_k_filter, top_p_filter
+from evo_tpu.ops.sampling import NEG_INF
 
 
 # ---------------------------------------------------------------------------
 # Device programs
 # ---------------------------------------------------------------------------
 
-def _sample_slots(keys, logits, top_k: int, top_p: float, temps):
-    """Per-slot sampling: logits (B, V) f32ish, temps (B,) float32,
-    keys (B, 2) uint32 — one PRNG key PER SLOT, so a request's sample
-    stream is a pure function of its own seed (deterministic regardless
-    of which other requests share the batch or when they arrive).
+def _sample_slots(keys, logits, top_ks, top_ps, temps):
+    """Per-slot sampling: logits (B, V) f32ish; top_ks (B,) int32,
+    top_ps/temps (B,) float32 — every sampling parameter is a traced
+    per-slot vector, so requests carry their own top-k/top-p/temperature
+    and NOTHING recompiles as the mix changes. keys (B, 2) uint32 — one
+    PRNG key PER SLOT, so a request's sample stream is a pure function
+    of its own seed (deterministic regardless of which other requests
+    share the batch or when they arrive).
 
     Rows with temps <= 0 take argmax (greedy); others sample from the
-    top-k/top-p-filtered temperature-scaled distribution. Returns
-    (tokens (B,) int32, logp (B,) float32) where logp is the log-prob of
-    the chosen token under the UNFILTERED distribution (the per-token
-    score a scoring pass would assign it).
+    top-k/top-p-filtered temperature-scaled distribution (same
+    tie-inclusive threshold semantics as ops/sampling.py's static
+    filters: per-row k <= 0 keeps all, per-row p >= 1 keeps all, the
+    top token is always kept). Returns (tokens (B,) int32, logp (B,)
+    float32) where logp is the log-prob of the chosen token under the
+    UNFILTERED distribution (the per-token score a scoring pass would
+    assign it).
     """
     logits32 = logits.astype(jnp.float32)
     logp_full = jax.nn.log_softmax(logits32, axis=-1)
     greedy = jnp.argmax(logits32, axis=-1).astype(jnp.int32)
     t = jnp.maximum(temps, 1e-6)[:, None]
-    filt = top_k_filter(logits32 / t, top_k)
-    filt = top_p_filter(filt, top_p)
+    scaled = logits32 / t
+    V = scaled.shape[-1]
+    srt = jnp.sort(scaled, axis=-1)[:, ::-1]              # descending
+    # top-k threshold: value of each row's k-th largest logit
+    k = jnp.clip(top_ks, 1, V)
+    kth = jnp.take_along_axis(srt, (k - 1)[:, None], axis=-1)
+    keep_k = ((top_ks <= 0) | (top_ks >= V))[:, None] | (scaled >= kth)
+    filt = jnp.where(keep_k, scaled, NEG_INF)
+    # nucleus threshold AFTER top-k (sequential composition, same as
+    # ops/sampling.py's static sample()): smallest logit in the minimal
+    # prefix of the top-k-filtered sorted distribution with cumulative
+    # probability >= p
+    srt_f = jnp.sort(filt, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(srt_f, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cum - probs) < top_ps[:, None]
+    keep_sorted = keep_sorted.at[:, 0].set(True)
+    pth = jnp.min(jnp.where(keep_sorted, srt_f, jnp.inf), axis=-1,
+                  keepdims=True)
+    keep_p = (top_ps >= 1.0)[:, None] | (filt >= pth)
+    filt = jnp.where(keep_p, filt, NEG_INF)
     sampled = jax.vmap(
-        lambda k, row: jax.random.categorical(k, row))(keys, filt)
+        lambda kk, row: jax.random.categorical(kk, row))(keys, filt)
     tok = jnp.where(temps <= 0.0, greedy, sampled.astype(jnp.int32))
     logp = jnp.take_along_axis(logp_full, tok[:, None], axis=-1)[:, 0]
     return tok, logp
@@ -95,10 +121,10 @@ def _split_slot_keys(keys):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('cfg', 'steps', 'top_k', 'top_p'),
+    static_argnames=('cfg', 'steps'),
     donate_argnames=('cache',))
-def _decode_chunk(params, tokens, cache, keys, temps, *, cfg: ModelConfig,
-                  steps: int, top_k: int, top_p: float):
+def _decode_chunk(params, tokens, cache, keys, temps, top_ks, top_ps, *,
+                  cfg: ModelConfig, steps: int):
     """Run `steps` decode+sample steps for the whole slot batch.
 
     tokens: (B,) int32 — each slot's current token (already emitted or the
@@ -110,7 +136,7 @@ def _decode_chunk(params, tokens, cache, keys, temps, *, cfg: ModelConfig,
         toks, cache, keys = carry
         logits, cache = model_lib.decode_step(params, cfg, toks, cache)
         keys, sub = _split_slot_keys(keys)
-        nxt, logp = _sample_slots(sub, logits, top_k, top_p, temps)
+        nxt, logp = _sample_slots(sub, logits, top_ks, top_ps, temps)
         return (nxt, cache, keys), (nxt, logp)
 
     (tokens, cache, keys), (emitted, logps) = jax.lax.scan(
@@ -119,11 +145,11 @@ def _decode_chunk(params, tokens, cache, keys, temps, *, cfg: ModelConfig,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('cfg', 'top_k', 'top_p'),
+                   static_argnames=('cfg',),
                    donate_argnames=('batch_cache',))
 def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
-                base_key, seed, tokens, temps, keys, *, cfg: ModelConfig,
-                top_k: int, top_p: float):
+                tk0, tp0, base_key, seed, tokens, temps, topks, topps,
+                keys, *, cfg: ModelConfig):
     """Admit a freshly-prefilled request in ONE device program: sample
     its first token from the prefill's last logits with the request's
     own key, then scatter the single-row cache into slot `slot`.
@@ -131,8 +157,9 @@ def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
     One fused dispatch instead of the original sample + insert pair —
     on the tunneled backend each dispatch costs ~28 ms
     (docs/performance.md), which at serving admission rates was ~9% of
-    wall clock. Returns (cache, tokens, temps, keys, tok0, logp0); the
-    host reads tok0/logp0 back once for bookkeeping.
+    wall clock. Returns (cache, tokens, temps, topks, topps, keys,
+    tok0, logp0); the host DEFERS the tok0/logp0 readback
+    (_flush_firsts) so admission never blocks on the device pipeline.
 
     batch_cache: offset (B,), attn KV (B, T, ...), hyena state (n, B, ...).
     single_cache: the B=1 twin (same T). slot is traced — one compiled
@@ -140,7 +167,9 @@ def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
     """
     req_key = jax.random.fold_in(base_key, seed)
     nxt, sub = _split_slot_keys(req_key[None])
-    tok0, logp0 = _sample_slots(sub, last_logits, top_k, top_p,
+    tok0, logp0 = _sample_slots(sub, last_logits,
+                                jnp.asarray([tk0], jnp.int32),
+                                jnp.asarray([tp0], jnp.float32),
                                 jnp.asarray([temp0], jnp.float32))
     tok0, logp0, key0 = tok0[0], logp0[0], nxt[0]
     new_layers = []
@@ -167,9 +196,13 @@ def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
     tokens = jax.lax.dynamic_update_slice(tokens, tok0[None], (slot,))
     temps = jax.lax.dynamic_update_slice(
         temps, jnp.asarray(temp0, jnp.float32)[None], (slot,))
+    topks = jax.lax.dynamic_update_slice(
+        topks, jnp.asarray(tk0, jnp.int32)[None], (slot,))
+    topps = jax.lax.dynamic_update_slice(
+        topps, jnp.asarray(tp0, jnp.float32)[None], (slot,))
     keys = jax.lax.dynamic_update_slice(keys, key0[None], (slot, 0))
-    return ({'offset': offset, 'layers': new_layers}, tokens, temps, keys,
-            tok0, logp0)
+    return ({'offset': offset, 'layers': new_layers}, tokens, temps,
+            topks, topps, keys, tok0, logp0)
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +216,8 @@ class _Request:
     num_tokens: int
     temperature: float
     seed: int
+    top_k: int = 0
+    top_p: float = 1.0
     tokens: List[int] = dataclasses.field(default_factory=list)
     logps: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -206,8 +241,8 @@ class GenerationServer:
     """Fixed-slot continuous-batching scheduler (module docstring).
 
     model: an EvoModel (evo_tpu.models). max_len bounds prompt + generated
-    tokens per request. top_k/top_p are server-wide (static under jit);
-    temperature is per request.
+    tokens per request. top_k/top_p/temperature are all per request
+    (submit() overrides; constructor values are the defaults).
     """
 
     def __init__(self, model, tokenizer=None, max_slots: int = 4,
@@ -257,6 +292,8 @@ class GenerationServer:
         self._prefill_cache = model.initialize_inference_params(1, max_len)
         self._tokens = jnp.zeros((max_slots,), jnp.int32)
         self._temps = jnp.zeros((max_slots,), jnp.float32)
+        self._topks = jnp.full((max_slots,), int(top_k), jnp.int32)
+        self._topps = jnp.full((max_slots,), float(top_p), jnp.float32)
         # per-slot PRNG keys: each request's stream comes from
         # fold_in(base, request seed), so its samples do not depend on
         # co-tenant traffic or arrival timing
@@ -275,12 +312,15 @@ class GenerationServer:
 
     def submit(self, prompt: Optional[str] = None, input_ids=None,
                num_tokens: int = 32, temperature: float = 0.0,
-               seed: Optional[int] = None) -> int:
+               seed: Optional[int] = None, top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
         """Queue a generation request; returns its request id.
 
         seed: the request's sampling seed (default: its request id).
         Results are reproducible per (server seed, request seed,
-        prompt, params) — independent of co-tenant traffic."""
+        prompt, params) — independent of co-tenant traffic.
+        top_k/top_p: per-request overrides of the server-wide defaults
+        (traced per-slot vectors — no recompiles as the mix changes)."""
         if input_ids is None:
             if prompt is None:
                 raise ValueError('pass prompt= or input_ids=')
@@ -299,7 +339,9 @@ class GenerationServer:
         rid = self._next_rid
         self._next_rid += 1
         req = _Request(rid, ids, int(num_tokens), float(temperature),
-                       int(rid if seed is None else seed))
+                       int(rid if seed is None else seed),
+                       top_k=int(self.top_k if top_k is None else top_k),
+                       top_p=float(self.top_p if top_p is None else top_p))
         self._requests[rid] = req
         self._queue.append(req)
         return rid
@@ -319,13 +361,13 @@ class GenerationServer:
         """Sample the request's first token and scatter `single_cache`
         into `slot` (single_cache is NOT donated — it doubles as the
         prefix cache for identical follow-up prompts)."""
-        (self._cache, self._tokens, self._temps, self._keys,
-         tok0, logp0) = _admit_slot(
+        (self._cache, self._tokens, self._temps, self._topks,
+         self._topps, self._keys, tok0, logp0) = _admit_slot(
             self._cache, single_cache,
             jnp.asarray(slot, jnp.int32), last_logits[:, -1],
-            req.temperature, self._base_key,
+            req.temperature, req.top_k, req.top_p, self._base_key,
             jnp.asarray(req.seed, jnp.int32), self._tokens, self._temps,
-            self._keys, cfg=self.cfg, top_k=self.top_k, top_p=self.top_p)
+            self._topks, self._topps, self._keys, cfg=self.cfg)
         self._slots[slot] = req
         # DEFER the first-token readback: a device_get here would block
         # on the whole queued device pipeline (prefill + admit) per
@@ -461,8 +503,8 @@ class GenerationServer:
         (self._tokens, self._cache, self._keys, emitted,
          logps) = _decode_chunk(
             self.model.params, self._tokens, self._cache, self._keys,
-            self._temps, cfg=self.cfg, steps=self.steps_per_sync,
-            top_k=self.top_k, top_p=self.top_p)
+            self._temps, self._topks, self._topps, cfg=self.cfg,
+            steps=self.steps_per_sync)
         self._harvest(np.asarray(emitted), np.asarray(logps))
 
     def run(self) -> Dict[int, GenerationResult]:

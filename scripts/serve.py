@@ -85,7 +85,9 @@ def run_jsonl(args, server: GenerationServer) -> None:
         rids.append(server.submit(
             prompt=req['prompt'],
             num_tokens=int(req.get('num_tokens', args.n_tokens)),
-            temperature=float(req.get('temperature', args.temperature))))
+            temperature=float(req.get('temperature', args.temperature)),
+            top_k=(int(req['top_k']) if 'top_k' in req else None),
+            top_p=(float(req['top_p']) if 'top_p' in req else None)))
     results = server.run()
     fout = sys.stdout if args.output_jsonl == '-' \
         else open(args.output_jsonl, 'w')
@@ -138,7 +140,10 @@ def make_http_server(args, server: GenerationServer):
                     prompt=req['prompt'],
                     num_tokens=int(req.get('num_tokens', args.n_tokens)),
                     temperature=float(req.get('temperature',
-                                              args.temperature)))
+                                              args.temperature)),
+                    top_k=(int(req['top_k']) if 'top_k' in req else None),
+                    top_p=(float(req['top_p']) if 'top_p' in req
+                           else None))
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send(400, {'error': str(e)})
                 return

@@ -158,6 +158,35 @@ def test_server_per_request_temperature_and_score(setup):
     assert len(results[r_hot].token_ids) == 6
 
 
+def test_server_per_request_top_k_top_p(setup):
+    """Per-request top-k/top-p (traced per-slot vectors): a temp=1.0
+    request with top_k=1 (or a vanishingly small top_p) keeps only the
+    argmax in its filtered distribution, so its stream must EXACTLY
+    equal greedy — while co-tenant rows sample with their own params."""
+    model, tok = setup
+    server = GenerationServer(model, tok, max_slots=3, max_len=64,
+                              top_k=0, steps_per_sync=3, seed=11)
+    want = _greedy_reference(model, tok, 'ACGTACGTAC', 7)
+    r_k1 = server.submit(prompt='ACGTACGTAC', num_tokens=7,
+                         temperature=1.0, top_k=1)
+    r_p0 = server.submit(prompt='ACGTACGTAC', num_tokens=7,
+                         temperature=1.0, top_p=1e-9)
+    r_hot = server.submit(prompt='ACGTACGTAC', num_tokens=7,
+                          temperature=1.0, top_k=4)
+    results = server.run()
+    np.testing.assert_array_equal(results[r_k1].token_ids, want)
+    np.testing.assert_array_equal(results[r_p0].token_ids, want)
+    assert len(results[r_hot].token_ids) == 7
+    # and the per-request override round-trips independently of traffic:
+    # the same top_k=4 request alone gives the same stream (per-slot keys)
+    solo = GenerationServer(model, tok, max_slots=3, max_len=64,
+                            top_k=0, steps_per_sync=3, seed=11)
+    r_solo = solo.submit(prompt='ACGTACGTAC', num_tokens=7,
+                         temperature=1.0, top_k=4, seed=r_hot)
+    np.testing.assert_array_equal(solo.run()[r_solo].token_ids,
+                                  results[r_hot].token_ids)
+
+
 def test_interleaved_prefill_matches_and_decodes_between_chunks(setup):
     """prefill_chunks_per_sync: a long arriving prompt no longer stalls
     the running batch — decode chunks run between its prefill chunks —
