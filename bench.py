@@ -174,7 +174,8 @@ def bench_generate(cfg, batch: int, prompt_len: int = 128,
 def bench_serving(cfg, slots: int = 48, n_requests: int = 144,
                   prompt_len: int = 128, n_tokens: int = 256,
                   steps_per_sync: int = 32, quant: str = 'none',
-                  params=None, unique_prompts=None):
+                  params=None, unique_prompts=None,
+                  prefill_batch: int = 0):
     """Continuous-batching server throughput (evo_tpu/serving.py):
     aggregate generated tokens/s over a stream of staggered requests with
     ragged output budgets sharing one `slots`-row decode cache. The
@@ -207,7 +208,8 @@ def bench_serving(cfg, slots: int = 48, n_requests: int = 144,
     def run():
         server = GenerationServer(model, max_slots=slots,
                                   max_len=prompt_len + 2 * n_tokens + 8,
-                                  steps_per_sync=steps_per_sync)
+                                  steps_per_sync=steps_per_sync,
+                                  prefill_batch=prefill_batch)
         for ids, n in zip(prompts, budgets):
             server.submit(input_ids=ids, num_tokens=n, temperature=0.0)
         results = server.run()

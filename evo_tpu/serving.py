@@ -147,12 +147,13 @@ def _decode_chunk(params, tokens, cache, keys, temps, top_ks, top_ps, *,
 @functools.partial(jax.jit,
                    static_argnames=('cfg',),
                    donate_argnames=('batch_cache',))
-def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
+def _admit_slot(batch_cache, single_cache, src, slot, last_logits, temp0,
                 tk0, tp0, base_key, seed, tokens, temps, topks, topps,
                 keys, *, cfg: ModelConfig):
     """Admit a freshly-prefilled request in ONE device program: sample
     its first token from the prefill's last logits with the request's
-    own key, then scatter the single-row cache into slot `slot`.
+    own key, then scatter row `src` of the prefill cache into slot
+    `slot`.
 
     One fused dispatch instead of the original sample + insert pair —
     on the tunneled backend each dispatch costs ~28 ms
@@ -162,16 +163,23 @@ def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
     (_flush_firsts) so admission never blocks on the device pipeline.
 
     batch_cache: offset (B,), attn KV (B, T, ...), hyena state (n, B, ...).
-    single_cache: the B=1 twin (same T). slot is traced — one compiled
-    program serves every slot index.
+    single_cache: a (Bsrc, T, ...) twin — Bsrc=1 for the normal fill
+    path, Bsrc=prefill_batch for batched admission; last_logits is its
+    (Bsrc, V) final-position logits. src and slot are both traced — one
+    compiled program per Bsrc serves every (row, slot) pair.
     """
     req_key = jax.random.fold_in(base_key, seed)
     nxt, sub = _split_slot_keys(req_key[None])
-    tok0, logp0 = _sample_slots(sub, last_logits,
+    row_logits = jax.lax.dynamic_slice_in_dim(last_logits, src, 1, axis=0)
+    tok0, logp0 = _sample_slots(sub, row_logits,
                                 jnp.asarray([tk0], jnp.int32),
                                 jnp.asarray([tp0], jnp.float32),
                                 jnp.asarray([temp0], jnp.float32))
     tok0, logp0, key0 = tok0[0], logp0[0], nxt[0]
+
+    def _row(x, axis):
+        return jax.lax.dynamic_slice_in_dim(x, src, 1, axis=axis)
+
     new_layers = []
     for (kind, _idxs), bl, sl in zip(cfg.layer_segments(),
                                      batch_cache['layers'],
@@ -179,17 +187,23 @@ def _admit_slot(batch_cache, single_cache, slot, last_logits, temp0,
         if kind == 'attn':
             new_layers.append({
                 'k': jax.lax.dynamic_update_slice(
-                    bl['k'], sl['k'].astype(bl['k'].dtype), (slot, 0, 0, 0)),
+                    bl['k'], _row(sl['k'], 0).astype(bl['k'].dtype),
+                    (slot, 0, 0, 0)),
                 'v': jax.lax.dynamic_update_slice(
-                    bl['v'], sl['v'].astype(bl['v'].dtype), (slot, 0, 0, 0)),
+                    bl['v'], _row(sl['v'], 0).astype(bl['v'].dtype),
+                    (slot, 0, 0, 0)),
             })
         else:
             new_layers.append(HyenaState(
                 fir=jax.lax.dynamic_update_slice(
-                    bl.fir, sl.fir.astype(bl.fir.dtype), (0, slot, 0, 0, 0)),
+                    bl.fir, _row(sl.fir, 1).astype(bl.fir.dtype),
+                    (0, slot, 0, 0, 0)),
                 iir=jax.lax.dynamic_update_slice(
-                    bl.iir, sl.iir.astype(bl.iir.dtype), (0, slot, 0, 0, 0)),
+                    bl.iir, _row(sl.iir, 1).astype(bl.iir.dtype),
+                    (0, slot, 0, 0, 0)),
             ))
+    # the fill cache's offset is a scalar shared by all its rows (a
+    # batched fill is same-length by construction)
     offset = jax.lax.dynamic_update_slice(
         batch_cache['offset'],
         single_cache['offset'].astype(jnp.int32)[None], (slot,))
@@ -249,7 +263,8 @@ class GenerationServer:
                  max_len: int = 512, top_k: int = 0, top_p: float = 1.0,
                  steps_per_sync: int = 8, stop_token: Optional[int] = None,
                  prompt_chunk: Optional[int] = None,
-                 prefill_chunks_per_sync: int = 0, seed: int = 0):
+                 prefill_chunks_per_sync: int = 0,
+                 prefill_batch: int = 0, seed: int = 0):
         """prompt_chunk: prefill prompts in fixed-size chunks through the
         resumable cache. Without it every distinct prompt length compiles
         its own prefill program (minutes each at 7B on TPU); with it the
@@ -262,7 +277,18 @@ class GenerationServer:
         bounded slice instead of its whole prefill (the chunked-prefill
         latency property). 0 (default) completes each fill immediately.
         Outputs are identical either way (exact resumable-state carry +
-        per-request RNG)."""
+        per-request RNG).
+
+        prefill_batch: admit up to this many SAME-LENGTH queued prompts
+        in one batched prefill, amortizing the 7B weight read across
+        rows (B=1 short-prompt prefill is weight-bandwidth-bound, like
+        decode). Strict-k grouping keeps the compiled-shape set at
+        exactly two families (B=1 and B=k): the batched program fires
+        only when k same-length prompts and k free slots are available;
+        anything else takes the normal B=1 path, so there is never
+        padded/wasted prefill compute. Row math is row-independent
+        (matmul contractions never cross the batch axis), so per-request
+        reproducibility is unchanged. 0/1 disables."""
         if max_slots < 1:
             raise ValueError('max_slots must be >= 1')
         self.model = model
@@ -276,9 +302,11 @@ class GenerationServer:
         self.stop_token = stop_token
         self.prompt_chunk = prompt_chunk
         self.prefill_chunks_per_sync = max(0, int(prefill_chunks_per_sync))
-        # at most one prompt is mid-prefill at a time (prefill is serial
-        # on the chip and shares one single-row cache):
-        # {'slot', 'req', 'ids' (1, P), 'pos'}
+        self.prefill_batch = max(0, int(prefill_batch))
+        # at most one fill (1 or prefill_batch same-length prompts) is
+        # mid-prefill at a time (prefill is serial on the chip and
+        # shares one scratch cache per row count):
+        # {'slots': [int], 'reqs': [_Request], 'ids' (k, P), 'pos'}
         self._fill: Optional[dict] = None
         # most recent completed prefill, reused verbatim for identical
         # follow-up prompts: {'key': bytes, 'cache', 'last_logits'}
@@ -288,8 +316,11 @@ class GenerationServer:
         # scalar offset -> per-slot offset vector (decode_step broadcasts)
         cache['offset'] = jnp.zeros((max_slots,), jnp.int32)
         self._cache = cache
-        # reusable single-row prefill cache (donated through every prefill)
-        self._prefill_cache = model.initialize_inference_params(1, max_len)
+        # reusable scratch prefill caches keyed by row count (donated
+        # through every prefill); the batched one is built lazily on the
+        # first k-row fill
+        self._prefill_caches = {1: model.initialize_inference_params(
+            1, max_len)}
         self._tokens = jnp.zeros((max_slots,), jnp.int32)
         self._temps = jnp.zeros((max_slots,), jnp.float32)
         self._topks = jnp.full((max_slots,), int(top_k), jnp.int32)
@@ -356,14 +387,15 @@ class GenerationServer:
         head = (P // self.prompt_chunk) * self.prompt_chunk
         return head - self.prompt_chunk if head == P else head
 
-    def _insert_from(self, single_cache, last_logits, slot: int,
-                     req: _Request) -> None:
-        """Sample the request's first token and scatter `single_cache`
-        into `slot` (single_cache is NOT donated — it doubles as the
-        prefix cache for identical follow-up prompts)."""
+    def _insert_from(self, fill_cache, last_logits, slot: int,
+                     req: _Request, src: int = 0) -> None:
+        """Sample the request's first token and scatter row `src` of
+        `fill_cache` into `slot` (fill_cache is NOT donated — it doubles
+        as the prefix cache for identical follow-up prompts, and a
+        batched fill's rows are admitted one scatter at a time)."""
         (self._cache, self._tokens, self._temps, self._topks,
          self._topps, self._keys, tok0, logp0) = _admit_slot(
-            self._cache, single_cache,
+            self._cache, fill_cache, jnp.asarray(src, jnp.int32),
             jnp.asarray(slot, jnp.int32), last_logits[:, -1],
             req.temperature, req.top_k, req.top_p, self._base_key,
             jnp.asarray(req.seed, jnp.int32), self._tokens, self._temps,
@@ -400,60 +432,102 @@ class GenerationServer:
         semantic_design.py:271-427). Each request still gets its own
         sampling key, so forked slots decode independently.
 
-        New prompts run as a fresh B=1 prefill into the scratch
-        single-row cache (donated through the chunks; stale contents
-        past the prompt stay masked out by the slot's offset). On
-        completion the filled scratch BECOMES the prefix cache and the
-        old prefix tree becomes the next scratch — two single-row caches
-        total, no per-fill allocation. With prompt_chunk the head runs
-        as fixed-size resumed chunks (bounded compiled-shape set); with
-        prefill_chunks_per_sync > 0 at most that many chunks run per
-        call, interleaving long prefills with decode."""
+        New prompts run as a fresh prefill into a scratch cache (donated
+        through the chunks; stale contents past the prompt stay masked
+        out by the slot's offset). With prefill_batch, k same-length
+        queued prompts share ONE k-row prefill (strict-k grouping —
+        __init__ docstring) and each row is admitted by its own scatter.
+        On completion a B=1 filled scratch BECOMES the prefix cache and
+        the old prefix tree becomes the next scratch — two single-row
+        caches total, no per-fill allocation (a batched fill's cache is
+        simply retained as the next batched scratch). With prompt_chunk
+        the head runs as fixed-size resumed chunks (bounded
+        compiled-shape set); with prefill_chunks_per_sync > 0 at most
+        that many chunks run per call, interleaving long prefills with
+        decode."""
         budget = self.prefill_chunks_per_sync or float('inf')
         while budget > 0:
             if self._fill is None:
-                free = [i for i, r in enumerate(self._slots) if r is None]
-                if not free or not self._queue:
+                if not self._start_fill():
                     return
-                req = self._queue.popleft()
-                if (self._prefix is not None
-                        and self._prefix['key'] == req.input_ids.tobytes()):
-                    self._insert_from(self._prefix['cache'],
-                                      self._prefix['last_logits'],
-                                      free[0], req)
-                    continue                 # no device prefill consumed
-                self._fill = {'slot': free[0], 'req': req,
-                              'ids': jnp.asarray(req.input_ids)[None],
-                              'pos': 0}
+                if self._fill is None:
+                    continue                 # prefix-cache insert: free
             f = self._fill
+            if all(r.done for r in f['reqs']):
+                self._fill = None            # everything cancelled
+                continue
+            k = len(f['reqs'])
             ids = f['ids']
             head = self._head_len(int(ids.shape[1]))
             while f['pos'] < head and budget > 0:
                 s = f['pos']
-                _, self._prefill_cache = self.model(
+                _, self._prefill_caches[k] = self.model(
                     ids[:, s:s + self.prompt_chunk],
-                    inference_params_dict=self._prefill_cache,
+                    inference_params_dict=self._prefill_caches[k],
                     donate_cache=True, resume=s > 0)
                 f['pos'] += self.prompt_chunk
                 budget -= 1
             if f['pos'] < head:
                 return                       # mid-fill; decode continues
             budget -= 1                      # the tail chunk below
-            req = f['req']
             last_logits, filled = self.model(
-                ids[:, head:], inference_params_dict=self._prefill_cache,
+                ids[:, head:],
+                inference_params_dict=self._prefill_caches[k],
                 donate_cache=True, resume=head > 0)
-            # swap: the filled scratch becomes the prefix cache; the old
-            # prefix tree (same shapes) becomes the next fill's scratch
-            if self._prefix is not None:
-                self._prefill_cache = self._prefix['cache']
+            if k == 1:
+                # swap: the filled scratch becomes the prefix cache; the
+                # old prefix tree (same shapes) becomes the next scratch
+                if self._prefix is not None:
+                    self._prefill_caches[1] = self._prefix['cache']
+                else:
+                    self._prefill_caches[1] = self.model.\
+                        initialize_inference_params(1, self.max_len)
+                self._prefix = {'key': f['reqs'][0].input_ids.tobytes(),
+                                'cache': filled,
+                                'last_logits': last_logits}
             else:
-                self._prefill_cache = self.model.\
-                    initialize_inference_params(1, self.max_len)
-            self._prefix = {'key': req.input_ids.tobytes(),
-                            'cache': filled, 'last_logits': last_logits}
-            self._insert_from(filled, last_logits, f['slot'], req)
+                # admissions below only READ `filled`; by the time the
+                # next k-row fill donates it they are already issued
+                self._prefill_caches[k] = filled
+            for src, (slot, req) in enumerate(zip(f['slots'], f['reqs'])):
+                if not req.done:             # skip rows cancelled mid-fill
+                    self._insert_from(filled, last_logits, slot, req,
+                                      src=src)
             self._fill = None
+
+    def _start_fill(self) -> bool:
+        """Pop the next request(s) off the queue: a zero-cost prefix
+        insert, a fresh B=1 fill, or (prefill_batch) a k-row same-length
+        batched fill. Returns False when no work can start."""
+        free = [i for i, r in enumerate(self._slots) if r is None]
+        if not free or not self._queue:
+            return False
+        req = self._queue.popleft()
+        if (self._prefix is not None
+                and self._prefix['key'] == req.input_ids.tobytes()):
+            self._insert_from(self._prefix['cache'],
+                              self._prefix['last_logits'], free[0], req)
+            return True                      # no device prefill consumed
+        reqs = [req]
+        k = self.prefill_batch
+        if k > 1 and len(free) >= k:
+            P = req.input_ids.size
+            mates = [r for r in self._queue
+                     if r.input_ids.size == P
+                     and (self._prefix is None
+                          or self._prefix['key'] != r.input_ids.tobytes())]
+            if len(mates) >= k - 1:          # strict-k: group or don't
+                for m in mates[:k - 1]:
+                    self._queue.remove(m)
+                    reqs.append(m)
+                if k not in self._prefill_caches:
+                    self._prefill_caches[k] = self.model.\
+                        initialize_inference_params(k, self.max_len)
+        self._fill = {'slots': free[:len(reqs)], 'reqs': reqs,
+                      'ids': jnp.asarray(
+                          np.stack([r.input_ids for r in reqs])),
+                      'pos': 0}
+        return True
 
     def _record(self, req: _Request, token: int, logp: float) -> None:
         req.tokens.append(token)
@@ -551,10 +625,13 @@ class GenerationServer:
             return False
         if req in self._queue:
             self._queue.remove(req)
-        elif self._fill is not None and self._fill['req'] is req:
-            # drop the partial prefill; the scratch cache is reused by
-            # the next fill (fresh prefills rewrite it from position 0)
-            self._fill = None
+        elif self._fill is not None and req in self._fill['reqs']:
+            # mark the row cancelled; co-tenant rows keep filling. When
+            # every row is cancelled _service_fills drops the whole fill
+            # (the scratch cache is reused — fresh prefills rewrite it
+            # from position 0).
+            if all(r.done or r is req for r in self._fill['reqs']):
+                self._fill = None
         else:
             for i, r in enumerate(self._slots):
                 if r is req:
@@ -565,8 +642,10 @@ class GenerationServer:
 
     @property
     def pending(self) -> int:
+        filling = (0 if self._fill is None
+                   else sum(not r.done for r in self._fill['reqs']))
         return (len(self._queue) + sum(r is not None for r in self._slots)
-                + (1 if self._fill is not None else 0))
+                + filling)
 
 
 class ServerLoop:
@@ -655,7 +734,7 @@ def serve_requests(model, tokenizer, prompts: Sequence[str],
                    num_tokens: int = 32, temperature: float = 0.0,
                    max_slots: int = 4, max_len: Optional[int] = None,
                    top_k: int = 0, top_p: float = 1.0,
-                   steps_per_sync: int = 8,
+                   steps_per_sync: int = 8, prefill_batch: int = 0,
                    seed: int = 0) -> List[GenerationResult]:
     """One-shot convenience: run a ragged prompt list through a
     continuous-batching server and return results in submission order."""
@@ -663,7 +742,8 @@ def serve_requests(model, tokenizer, prompts: Sequence[str],
         max_len = max(len(p) for p in prompts) + num_tokens + 1
     server = GenerationServer(model, tokenizer, max_slots=max_slots,
                               max_len=max_len, top_k=top_k, top_p=top_p,
-                              steps_per_sync=steps_per_sync, seed=seed)
+                              steps_per_sync=steps_per_sync,
+                              prefill_batch=prefill_batch, seed=seed)
     rids = [server.submit(prompt=p, num_tokens=num_tokens,
                           temperature=temperature) for p in prompts]
     results = server.run()

@@ -219,6 +219,11 @@ def main():
                         'most N prompt chunks per scheduler step (bounds '
                         'the decode stall a long arrival causes); 0 = '
                         'finish each prefill immediately')
+    p.add_argument('--prefill-batch', type=int, default=0,
+                   help='admit up to N same-length queued prompts in one '
+                        'batched prefill (amortizes the weight read; '
+                        'strict-k grouping so nothing recompiles per '
+                        'traffic mix); 0 disables')
     p.add_argument('--top-k', type=int, default=0)
     p.add_argument('--top-p', type=float, default=1.0)
     p.add_argument('--stop-token', type=int, default=None)
@@ -242,6 +247,7 @@ def main():
         steps_per_sync=args.steps_per_sync, stop_token=args.stop_token,
         prompt_chunk=args.prompt_chunk or None,
         prefill_chunks_per_sync=args.prefill_chunks_per_sync,
+        prefill_batch=args.prefill_batch,
         seed=args.seed)
     if args.http is not None:
         run_http(args, server)

@@ -313,6 +313,86 @@ def test_server_cancel_queued_and_active(setup):
         results[r2].token_ids, _greedy_reference(model, tok, 'GATTACA', 6))
 
 
+def test_server_batched_prefill_matches_generator(setup):
+    """prefill_batch=2: same-length prompts admitted through one 2-row
+    prefill must match their individual greedy generations exactly —
+    prefill row math never crosses the batch axis, so batching the
+    admission is invisible in the outputs. One odd-length prompt rides
+    along to exercise the B=1 fallback in the same run."""
+    model, tok = setup
+    prompts = ['ACGTACGTAC', 'TTGGCCAATT', 'GATTACAGAT', 'CCCCCCCCCC',
+               'ACGT']
+    lens = [8, 5, 9, 6, 7]
+    server = GenerationServer(model, tok, max_slots=4, max_len=64,
+                              steps_per_sync=4, prefill_batch=2)
+    rids = [server.submit(prompt=p, num_tokens=n)
+            for p, n in zip(prompts, lens)]
+    results = server.run()
+    assert len(results) == len(prompts)
+    for rid, p, n in zip(rids, prompts, lens):
+        np.testing.assert_array_equal(results[rid].token_ids,
+                                      _greedy_reference(model, tok, p, n))
+
+
+def test_server_batched_prefill_sampled_matches_unbatched(setup):
+    """Sampled requests emit identical tokens with and without batched
+    admission: each request's stream is a pure function of its own seed
+    and the grouping changes no per-row numerics."""
+    model, tok = setup
+    prompts = ['ACGTACGTAC', 'TTGGCCAATT', 'GATTACAGAT', 'CCAATTGGCC']
+
+    def run(pb):
+        server = GenerationServer(model, tok, max_slots=4, max_len=64,
+                                  steps_per_sync=4, prefill_batch=pb,
+                                  seed=7)
+        rids = [server.submit(prompt=p, num_tokens=9, temperature=0.9,
+                              top_k=3, seed=13 + i)
+                for i, p in enumerate(prompts)]
+        res = server.run()
+        return [res[r].token_ids for r in rids]
+
+    for a, b in zip(run(0), run(4)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_server_batched_prefill_strict_k_falls_back(setup):
+    """With fewer same-length prompts than prefill_batch the B=1 path
+    serves them (strict-k grouping: no padded batched program), and
+    outputs still match."""
+    model, tok = setup
+    server = GenerationServer(model, tok, max_slots=4, max_len=64,
+                              steps_per_sync=4, prefill_batch=4)
+    r0 = server.submit(prompt='ACGTACGT', num_tokens=6)
+    r1 = server.submit(prompt='TTGGCCAA', num_tokens=6)   # only 2 of len 8
+    results = server.run()
+    assert 4 not in server._prefill_caches          # batched program unused
+    np.testing.assert_array_equal(
+        results[r0].token_ids, _greedy_reference(model, tok, 'ACGTACGT', 6))
+    np.testing.assert_array_equal(
+        results[r1].token_ids, _greedy_reference(model, tok, 'TTGGCCAA', 6))
+
+
+def test_server_batched_prefill_cancel_one_row(setup):
+    """Cancelling one request of an in-flight batched+chunked fill keeps
+    the co-tenant row: the survivor still matches its greedy reference
+    and the cancelled request finalizes empty."""
+    model, tok = setup
+    server = GenerationServer(model, tok, max_slots=2, max_len=64,
+                              steps_per_sync=2, prefill_batch=2,
+                              prompt_chunk=4, prefill_chunks_per_sync=1)
+    pa, pb = 'ACGTACGTACGT', 'TTGGCCAATTGG'        # 12 = 2 head chunks
+    ra = server.submit(prompt=pa, num_tokens=6)
+    rb = server.submit(prompt=pb, num_tokens=6)
+    server.step()                                   # fill started, mid-head
+    assert server._fill is not None and len(server._fill['reqs']) == 2
+    assert server.cancel(rb)
+    results = server.run()
+    resb = results[rb]
+    assert resb.cancelled and len(resb.token_ids) == 0
+    np.testing.assert_array_equal(
+        results[ra].token_ids, _greedy_reference(model, tok, pa, 6))
+
+
 def test_server_loop_stream_yields_full_sequence(setup):
     """ServerLoop.stream(): incremental tokens equal the final result."""
     from evo_tpu.serving import ServerLoop
