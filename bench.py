@@ -661,7 +661,9 @@ def _run_all(args) -> None:
         # 16/24/32/40/48/64 slots — weight reads keep amortizing — and 48
         # keeps ~2 GB more headroom than 64 (96 OOMs). Slot memory at
         # these context lengths is per-position KV x max_len x slots.
-        tps = bench_serving(cfg8, params=params8())
+        # prefill_batch=8: ladder-grouped batched admission (measured
+        # +6% over B=1 admission on this row, 2026-08-19 A/B)
+        tps = bench_serving(cfg8, params=params8(), prefill_batch=8)
         return {'value': round(tps, 2),
                 'unit': 'generated tokens/s aggregate',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
@@ -992,7 +994,7 @@ def main():
             }))
             return
         if args.preset == 'serving':
-            tps = bench_serving(cfg, quant=args.quant)
+            tps = bench_serving(cfg, quant=args.quant, prefill_batch=8)
             base = _decode_roofline(cfg, 1)     # reference pattern: B=1
             print(json.dumps({
                 'metric': f'serving_tokens_per_sec_per_chip_{name}' +

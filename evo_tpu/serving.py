@@ -282,13 +282,17 @@ class GenerationServer:
         prefill_batch: admit up to this many SAME-LENGTH queued prompts
         in one batched prefill, amortizing the 7B weight read across
         rows (B=1 short-prompt prefill is weight-bandwidth-bound, like
-        decode). Strict-k grouping keeps the compiled-shape set at
-        exactly two families (B=1 and B=k): the batched program fires
-        only when k same-length prompts and k free slots are available;
-        anything else takes the normal B=1 path, so there is never
-        padded/wasted prefill compute. Row math is row-independent
-        (matmul contractions never cross the batch axis), so per-request
-        reproducibility is unchanged. 0/1 disables."""
+        decode, and admissions serialize with decode on the chip).
+        Group sizes come from a power-of-two ladder {2, 4, ..., k}: a
+        fill takes the largest ladder size that the queue's same-length
+        run AND the free-slot count cover, else the B=1 path — mid-run
+        slot turnover frees slots a few at a time, so a strict
+        all-or-nothing k would stop firing after the initial fill. The
+        compiled-program set stays bounded at log2(k) sizes per tail
+        shape with zero padded/wasted prefill compute. Row math is
+        row-independent (matmul contractions never cross the batch
+        axis), so per-request reproducibility is unchanged. 0/1
+        disables."""
         if max_slots < 1:
             raise ValueError('max_slots must be >= 1')
         self.model = model
@@ -495,10 +499,23 @@ class GenerationServer:
                                       src=src)
             self._fill = None
 
+    def _group_size(self, avail: int) -> int:
+        """Largest ladder size ({2,4,...,prefill_batch}) <= avail, or 1.
+
+        avail already accounts for both the same-length queue run and
+        the free-slot count; capping sizes to the ladder bounds the
+        compiled prefill/admit program set at log2(prefill_batch)
+        entries per tail shape."""
+        g = 1
+        while g * 2 <= min(avail, self.prefill_batch):
+            g *= 2
+        return g
+
     def _start_fill(self) -> bool:
         """Pop the next request(s) off the queue: a zero-cost prefix
-        insert, a fresh B=1 fill, or (prefill_batch) a k-row same-length
-        batched fill. Returns False when no work can start."""
+        insert, a fresh B=1 fill, or (prefill_batch) a same-length
+        batched fill at a ladder size. Returns False when no work can
+        start."""
         free = [i for i, r in enumerate(self._slots) if r is None]
         if not free or not self._queue:
             return False
@@ -509,20 +526,20 @@ class GenerationServer:
                               self._prefix['last_logits'], free[0], req)
             return True                      # no device prefill consumed
         reqs = [req]
-        k = self.prefill_batch
-        if k > 1 and len(free) >= k:
+        if self.prefill_batch > 1:
             P = req.input_ids.size
             mates = [r for r in self._queue
                      if r.input_ids.size == P
                      and (self._prefix is None
                           or self._prefix['key'] != r.input_ids.tobytes())]
-            if len(mates) >= k - 1:          # strict-k: group or don't
-                for m in mates[:k - 1]:
+            g = self._group_size(min(len(free), len(mates) + 1))
+            if g > 1:
+                for m in mates[:g - 1]:
                     self._queue.remove(m)
                     reqs.append(m)
-                if k not in self._prefill_caches:
-                    self._prefill_caches[k] = self.model.\
-                        initialize_inference_params(k, self.max_len)
+                if g not in self._prefill_caches:
+                    self._prefill_caches[g] = self.model.\
+                        initialize_inference_params(g, self.max_len)
         self._fill = {'slots': free[:len(reqs)], 'reqs': reqs,
                       'ids': jnp.asarray(
                           np.stack([r.input_ids for r in reqs])),

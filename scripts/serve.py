@@ -219,11 +219,11 @@ def main():
                         'most N prompt chunks per scheduler step (bounds '
                         'the decode stall a long arrival causes); 0 = '
                         'finish each prefill immediately')
-    p.add_argument('--prefill-batch', type=int, default=0,
+    p.add_argument('--prefill-batch', type=int, default=8,
                    help='admit up to N same-length queued prompts in one '
                         'batched prefill (amortizes the weight read; '
-                        'strict-k grouping so nothing recompiles per '
-                        'traffic mix); 0 disables')
+                        'power-of-two ladder group sizes keep the '
+                        'compiled-program set bounded); 0 disables')
     p.add_argument('--top-k', type=int, default=0)
     p.add_argument('--top-p', type=float, default=1.0)
     p.add_argument('--stop-token', type=int, default=None)

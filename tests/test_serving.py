@@ -355,21 +355,26 @@ def test_server_batched_prefill_sampled_matches_unbatched(setup):
         np.testing.assert_array_equal(a, b)
 
 
-def test_server_batched_prefill_strict_k_falls_back(setup):
-    """With fewer same-length prompts than prefill_batch the B=1 path
-    serves them (strict-k grouping: no padded batched program), and
-    outputs still match."""
+def test_server_batched_prefill_ladder_sizes(setup):
+    """Group sizes come from the power-of-two ladder: 2 same-length
+    prompts under prefill_batch=4 group at size 2 (never a padded
+    4-row program), a lone odd-length prompt takes the B=1 path, and
+    outputs still match their individual references."""
     model, tok = setup
     server = GenerationServer(model, tok, max_slots=4, max_len=64,
                               steps_per_sync=4, prefill_batch=4)
     r0 = server.submit(prompt='ACGTACGT', num_tokens=6)
     r1 = server.submit(prompt='TTGGCCAA', num_tokens=6)   # only 2 of len 8
+    r2 = server.submit(prompt='GATTACA', num_tokens=6)    # lone len 7
     results = server.run()
-    assert 4 not in server._prefill_caches          # batched program unused
+    assert 4 not in server._prefill_caches          # no padded 4-row fill
+    assert 2 in server._prefill_caches              # pair grouped at 2
     np.testing.assert_array_equal(
         results[r0].token_ids, _greedy_reference(model, tok, 'ACGTACGT', 6))
     np.testing.assert_array_equal(
         results[r1].token_ids, _greedy_reference(model, tok, 'TTGGCCAA', 6))
+    np.testing.assert_array_equal(
+        results[r2].token_ids, _greedy_reference(model, tok, 'GATTACA', 6))
 
 
 def test_server_batched_prefill_cancel_one_row(setup):
