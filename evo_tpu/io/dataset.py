@@ -120,6 +120,15 @@ class PackedFastaDataset:
             windows = self.epoch_windows(epoch)
             masks = self._epoch_mask
             B = self.batch_size
+            if len(windows) < B:
+                # fail loud: with epochs=None a zero-batch epoch would
+                # otherwise spin forever (re-shuffling and yielding
+                # nothing) while the training loop waits for a batch
+                raise ValueError(
+                    f'corpus too small: epoch has {len(windows)} '
+                    f'window(s) of seq_len={self.seq_len} on this host '
+                    f'but batch_size={self.batch_size}; lower '
+                    '--seq-len/--batch-size or add data')
             for i in range(0, len(windows) - B + 1, B):
                 yield windows[i:i + B], masks[i:i + B]
             epoch += 1

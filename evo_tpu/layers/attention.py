@@ -40,6 +40,11 @@ def _qkv(p, cfg: ModelConfig, x):
                          wcast(p['wqkv'], x.dtype))
     if 'bqkv' in p:
         qkv = qkv + p['bqkv'].astype(x.dtype)
+    if 'lora_wqkv' in p:
+        # LoRA side path (evo_tpu/lora.py): (x @ A) @ B lands directly in
+        # the (B, L, 3, H, Dh) layout
+        from evo_tpu.lora import delta1
+        qkv = qkv + delta1(x, p['lora_wqkv']).astype(qkv.dtype)
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
 
@@ -100,6 +105,9 @@ def _out(p, x_dtype, y, mesh=None, act_quant: bool = False):
         o = jnp.einsum('blhe,hed->bld', y, wcast(p['wo'], x_dtype))
     if 'bo' in p:
         o = o + p['bo'].astype(x_dtype)
+    if 'lora_wo' in p:
+        from evo_tpu.lora import delta2
+        o = o + delta2(y, p['lora_wo']).astype(o.dtype)
     from evo_tpu.parallel.mesh import has_cp
     if has_cp(mesh):
         from evo_tpu.parallel.sharding import residual_constraint

@@ -59,6 +59,9 @@ def _out_proj(p, y, act_quant: bool = False):
         o = y @ wcast(p['w_out'], y.dtype)
     if 'b_out' in p:
         o = o + p['b_out'].astype(y.dtype)
+    if 'lora_w_out' in p:
+        from evo_tpu.lora import delta1
+        o = o + delta1(y, p['lora_w_out']).astype(o.dtype)
     return o
 
 
@@ -79,6 +82,12 @@ def hyena_full(p, cfg: ModelConfig, x, *, collect_state: bool = False,
         z = jnp.einsum('bld,dtc->btcl', x, wcast(p['w_in'], x.dtype))
     if 'b_in' in p:
         z = z + p['b_in'].astype(x.dtype)[None, :, :, None]
+    if 'lora_w_in' in p:
+        # LoRA side path (evo_tpu/lora.py): delta arrives (B, L, 3, C),
+        # moveaxis matches the (B, 3, C, L) stream layout
+        from evo_tpu.lora import delta1
+        z = z + jnp.moveaxis(delta1(x, p['lora_w_in']), 1, -1
+                             ).astype(z.dtype)
     from evo_tpu.parallel.mesh import channel_axes, has_cp
     ch = channel_axes(mesh)
     if has_cp(mesh):

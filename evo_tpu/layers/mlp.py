@@ -29,7 +29,23 @@ def gated_mlp(p, x, activation: str = 'gelu', act_quant: bool = False):
         # per leaf (cfg.act_quant / weight_quant; evo_tpu/quant.py)
         z1 = qdot(x, p['w1'])
         z2 = qdot(x, p['w2'])
-        return qdot(act(z1) * z2, p['w3'])
-    z1 = x @ wcast(p['w1'], dt)
-    z2 = x @ wcast(p['w2'], dt)
-    return (act(z1) * z2) @ wcast(p['w3'], dt)
+    else:
+        z1 = x @ wcast(p['w1'], dt)
+        z2 = x @ wcast(p['w2'], dt)
+    if 'lora_w1' in p or 'lora_w2' in p:
+        # LoRA side paths (evo_tpu/lora.py): rank-r corrections added to
+        # the frozen matmuls' outputs, pre-activation
+        from evo_tpu.lora import delta1
+        if 'lora_w1' in p:
+            z1 = z1 + delta1(x, p['lora_w1']).astype(z1.dtype)
+        if 'lora_w2' in p:
+            z2 = z2 + delta1(x, p['lora_w2']).astype(z2.dtype)
+    g = act(z1) * z2
+    if act_quant or is_int4(p['w3']):
+        out = qdot(g, p['w3'])
+    else:
+        out = g @ wcast(p['w3'], dt)
+    if 'lora_w3' in p:
+        from evo_tpu.lora import delta1
+        out = out + delta1(g, p['lora_w3']).astype(out.dtype)
+    return out

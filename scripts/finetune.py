@@ -15,9 +15,11 @@ workflow needs. Wires the packed-FASTA data pipeline
 Single-chip by default; `--dp/--tp` builds a GSPMD mesh (weights sharded
 on tp, the global batch on dp — per-host batch stays `--batch-size`).
 
-Example (tiny CPU smoke):
+Example (tiny CPU smoke; example_seqs.fasta is ~50 tokens, so seq-len
+must be small enough to cut >= batch-size windows per epoch — the
+dataset fails loud otherwise):
     python -m scripts.finetune --input-fasta examples/example_seqs.fasta \
-        --tiny --seq-len 64 --batch-size 2 --steps 10 --save-dir /tmp/ft
+        --tiny --seq-len 16 --batch-size 2 --steps 10 --save-dir /tmp/ft
 """
 
 from __future__ import annotations
@@ -57,6 +59,16 @@ def main():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--dp', type=int, default=1)
     p.add_argument('--tp', type=int, default=None)
+    p.add_argument('--lora-rank', type=int, default=0,
+                   help='>0 enables LoRA fine-tuning (evo_tpu/lora.py): '
+                        'base weights frozen in their serving dtypes, '
+                        'only rank-r adapters train — the single-chip '
+                        '7B fine-tune mode (~12.9 GB resident vs ~84 GB '
+                        'for full fp32-master AdamW)')
+    p.add_argument('--lora-alpha', type=float, default=16.0)
+    p.add_argument('--lora-targets', default=None,
+                   help='comma list of adapted weights (default: all of '
+                        'w1,w2,w3,wqkv,wo,w_in,w_out)')
     p.add_argument('--no-remat', action='store_true',
                    help='disable per-block rematerialization (more memory, '
                         'slightly faster backward)')
@@ -92,17 +104,37 @@ def main():
     optimizer = training.make_optimizer(
         learning_rate=args.lr, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip)
-    state = training.init_train_state(evo.model.params, optimizer)
-    if args.resume and os.path.exists(
-            os.path.join(args.save_dir, 'train_state')):
-        state = training.load_train_state(args.save_dir, state)
-        print(f'resumed at step {int(state.step)}', flush=True)
-
-    if mesh is not None:
-        step_fn = training.make_sharded_train_step(cfg, optimizer, mesh)
+    if args.lora_rank > 0:
+        from evo_tpu import lora as lora_lib
+        targets = (tuple(t.strip() for t in args.lora_targets.split(','))
+                   if args.lora_targets else lora_lib.DEFAULT_TARGETS)
+        adapters = lora_lib.init_lora(
+            jax.random.PRNGKey(args.seed), evo.model.params, cfg,
+            rank=args.lora_rank, targets=targets)
+        state = lora_lib.init_lora_train_state(adapters, optimizer)
+        if args.resume and os.path.exists(
+                os.path.join(args.save_dir, 'train_state')):
+            tmpl = training.TrainState(state.lora, state.opt_state,
+                                       state.step)
+            got = training.load_train_state(args.save_dir, tmpl)
+            state = lora_lib.LoraTrainState(got.params, got.opt_state,
+                                            got.step)
+            print(f'resumed at step {int(state.step)}', flush=True)
+        step_fn = jax.jit(lora_lib.make_lora_train_step(
+            cfg, optimizer, alpha=args.lora_alpha, mesh=mesh),
+            donate_argnums=(0,))
     else:
-        step_fn = jax.jit(training.make_train_step(cfg, optimizer),
-                          donate_argnums=(0,))
+        state = training.init_train_state(evo.model.params, optimizer)
+        if args.resume and os.path.exists(
+                os.path.join(args.save_dir, 'train_state')):
+            state = training.load_train_state(args.save_dir, state)
+            print(f'resumed at step {int(state.step)}', flush=True)
+
+        if mesh is not None:
+            step_fn = training.make_sharded_train_step(cfg, optimizer, mesh)
+        else:
+            step_fn = jax.jit(training.make_train_step(cfg, optimizer),
+                              donate_argnums=(0,))
 
     ds = PackedFastaDataset(
         args.input_fasta, evo.tokenizer, seq_len=args.seq_len,
@@ -114,11 +146,33 @@ def main():
 
     def save(state):
         os.makedirs(args.save_dir, exist_ok=True)
-        training.save_train_state(state, args.save_dir)
         from evo_tpu import checkpoint as ckpt
-        ckpt.save_native(
-            training.serving_params(state, serving_dtypes),
-            os.path.join(args.save_dir, 'serving'), cfg=cfg)
+        if args.lora_rank > 0:
+            # resume state (adapters + moments) via the shared orbax
+            # saver, the portable adapters alone as npz, and a merged
+            # serving checkpoint (`lora.merge_lora`)
+            training.save_train_state(
+                training.TrainState(state.lora, state.opt_state,
+                                    state.step), args.save_dir)
+            lora_lib.save_lora(
+                state.lora, os.path.join(args.save_dir, 'adapters.npz'),
+                alpha=args.lora_alpha)
+            ckpt.save_native(
+                lora_lib.merge_lora(evo.model.params, state.lora,
+                                    args.lora_alpha),
+                os.path.join(args.save_dir, 'serving'), cfg=cfg)
+        else:
+            training.save_train_state(state, args.save_dir)
+            ckpt.save_native(
+                training.serving_params(state, serving_dtypes),
+                os.path.join(args.save_dir, 'serving'), cfg=cfg)
+
+    if args.lora_rank > 0:
+        base_params = evo.model.params
+        run_step = lambda st, ids, mask: step_fn(st, base_params, ids,
+                                                 mask)  # noqa: E731
+    else:
+        run_step = step_fn
 
     start = int(state.step)
     t0 = time.time()
@@ -126,7 +180,7 @@ def main():
     for ids, mask in ds.iter_batches():
         if done >= args.steps:
             break
-        state, loss = step_fn(state, ids, mask)
+        state, loss = run_step(state, ids, mask)
         done += 1
         if args.log_every and done % args.log_every == 0:
             loss = float(loss)          # sync point

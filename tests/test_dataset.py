@@ -148,3 +148,11 @@ def test_training_loss_decreases_on_packed_batches(corpus):
                                    state.params),
             cfg, ids0, mask0))
     assert final < first, (first, final)
+
+
+def test_zero_batch_epoch_fails_loud(corpus):
+    # corpus (~400 tokens) cut at seq_len 4096 -> 1 window < batch 8:
+    # epochs=None must raise instead of re-shuffling forever
+    ds = PackedFastaDataset(corpus[0], seq_len=4096, batch_size=8, seed=0)
+    with pytest.raises(ValueError, match='corpus too small'):
+        next(ds.iter_batches(epochs=None))
