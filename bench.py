@@ -725,6 +725,8 @@ def _run_all(args) -> None:
             ('p131', 'prefill_131k_config_L16384', 90, 480),
             ('int4', 'decode_fused_b1_int4', 90, 480),
             ('full131k', 'score_full_context_L131072_single_chip_int8',
+             300, 900),
+            ('ldec_int8', 'decode_at_context_122880_int8w_int8kv',
              300, 900)):
         if left() < floor_s:
             extras[key] = ('skipped (budget; see BASELINE.md for the '
@@ -794,6 +796,14 @@ def _run_section(section: str) -> None:
         tps = bench_full131k()
         row = {'value': round(tps, 1), 'unit': 'tokens/s/chip',
                'vs_baseline': round(tps / tgt131, 4)}
+    elif section in ('ldec_bf16', 'ldec_int8'):
+        kvq = 'int8' if section == 'ldec_int8' else 'none'
+        context = 122880
+        tps = bench_longdecode(kv_quant=kvq, context=context)
+        roof = _longdecode_roofline(cfg131, context, kvq)
+        row = {'value': round(tps, 2), 'unit': 'tokens/s (B=1 greedy)',
+               'roofline': round(roof, 2),
+               'pct_roofline': round(tps / roof, 4)}
     else:
         raise SystemExit(f'unknown section {section!r}')
     print(json.dumps(row))
@@ -851,18 +861,105 @@ def bench_full131k(length: int = 131072, segment: int = 8192,
     return length / min(ts[1:] or ts)
 
 
+def bench_longdecode(kv_quant: str = 'none', context: int = 122880,
+                     steps: int = 128, segment: int = 8192):
+    """Long-context AR decode on ONE chip: the capability behind the
+    reference's flagship ">650k-token generation" demo
+    (/root/reference/scripts/hello_evo.ipynb intro; run there on an 80 GB
+    A100). Decode at a ~123k-token offset is cache-bandwidth-bound — every
+    step reads the attention KV buffers (6.07 GB bf16 at this length) on
+    top of the int8 weights (6.6 GB) — so this is the workload the
+    `kv_quant: int8` mode exists for (halves the cache reads AND frees
+    ~3 GB of HBM). Measures: segmented prefill of `context` tokens into
+    the cache, then a fused `lax.scan` of `steps` greedy decode steps;
+    returns decode tokens/s (prefill excluded — the full131k row already
+    measures prefill rate at this length).
+    """
+    from evo_tpu import model as model_lib
+    from evo_tpu.models import Evo
+    from evo_tpu.scoring import _aligned_cache_len
+
+    ov = dict(weight_quant='int8')
+    if kv_quant != 'none':
+        ov['kv_quant'] = kv_quant
+    ev = Evo('evo-1-131k-base', random_init=True, config_overrides=ov)
+    cfg = ev.model.config
+    params = ev.model.params
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (1, context)), jnp.int32)
+    # headroom for warmup + 2 timed legs (decode reads the full static
+    # buffer each step, so the timing is offset-independent)
+    T = _aligned_cache_len(context + 3 * steps + 1)
+
+    cache = ev.model.initialize_inference_params(1, T)
+    for s in range(0, context, segment):
+        _, cache = ev.model(ids[:, s:s + segment],
+                            inference_params_dict=cache,
+                            donate_cache=True, resume=s > 0)
+
+    @functools.partial(jax.jit, static_argnames=('n',),
+                       donate_argnames=('cache',))
+    def dec(params, tok, cache, n):
+        def body(carry, _):
+            t, c = carry
+            lg, c = model_lib.decode_step(params, cfg, t, c)
+            return (jnp.argmax(lg, axis=-1).astype(jnp.int32), c), ()
+        (t, cache), _ = jax.lax.scan(body, (tok, cache), None, length=n)
+        return t, cache
+
+    tok = jnp.zeros((1,), jnp.int32)
+    tok, cache = dec(params, tok, cache, n=steps)  # compile + warmup
+    int(tok[0])                                    # host readback = sync
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tok, cache = dec(params, tok, cache, n=steps)
+        int(tok[0])
+        times.append(time.perf_counter() - t0)
+    return steps / min(times)
+
+
+def _longdecode_roofline(cfg, context: int, kv_quant: str) -> float:
+    """tokens/s at 100% HBM bandwidth for long-context decode: int8
+    weights + per-step KV-buffer reads at the benched cache length."""
+    from evo_tpu.scoring import _aligned_cache_len
+    T = _aligned_cache_len(context + 128)
+    n_attn = len(cfg.attn_layer_idxs)
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    kv_elem = 2 * T * H * Dh * n_attn
+    kv_bytes = kv_elem * (1 if kv_quant == 'int8' else 2)
+    if kv_quant == 'int8':
+        kv_bytes += 2 * T * H * n_attn * 4          # f32 scale buffers
+    # int8 weights: ~97% of param bytes at 1 byte + f32 scales (small)
+    param_bytes = sum(
+        x.size for x in jax.tree_util.tree_leaves(
+            jax.eval_shape(lambda k: __import__(
+                'evo_tpu.model', fromlist=['model']).init_params(k, cfg),
+                jax.random.PRNGKey(0))))
+    hbm = {'v5 lite': 819e9, 'v5e': 819e9, 'v5p': 2765e9,
+           'v4': 1228e9, 'v6': 1638e9}
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ''
+    bw = next((v for key, v in hbm.items() if key in kind), 819e9)
+    return bw / (param_bytes + kv_bytes)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--preset', default='all',
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling', 'full131k',
-                             'serving', 'serving_latency', 'speculative'])
+                             'serving', 'serving_latency', 'speculative',
+                             'longdecode'])
     ap.add_argument('--budget-s', type=float, default=1380.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
                          'warm reruns fit easily)')
     ap.add_argument('--section', default=None,
-                    choices=('p131', 'int4', 'full131k'),
+                    choices=('p131', 'int4', 'full131k', 'ldec_bf16',
+                             'ldec_int8'),
                     help="internal: run ONE preset-'all' row in this "
                          'process (used for allocator isolation)')
     ap.add_argument('--verify', action='store_true',
@@ -932,6 +1029,31 @@ def main():
             'metric': f'score_full_context_L{length}_single_chip_int8',
             'value': round(tps, 1), 'unit': 'tokens/s/chip',
             'vs_baseline': round(tps / tgt, 3)}))
+        return
+
+    if args.preset == 'longdecode':
+        if not on_tpu:
+            print(json.dumps({'metric': 'longdecode', 'value': None,
+                              'unit': 'tokens/s',
+                              'vs_baseline': None,
+                              'note': 'requires a TPU (7B single-chip '
+                                      'long-context decode workload)'}))
+            return
+        # each leg inits a ~13 GB working set; run them in isolated
+        # subprocesses like the other fresh-7B-tree rows (allocator
+        # degradation on the tunneled backend, docs/performance.md)
+        rows = {'kv_bf16': _run_isolated('ldec_bf16', 1200),
+                'kv_int8': _run_isolated('ldec_int8', 1200)}
+        i8 = rows['kv_int8']
+        bf = rows['kv_bf16']
+        ok = isinstance(i8, dict) and isinstance(bf, dict)
+        print(json.dumps({
+            'metric': 'decode_at_context_122880_single_chip_int8w',
+            'value': i8['value'] if ok else None,
+            'unit': 'tokens/s (B=1 greedy, int8 KV cache)',
+            'vs_baseline': (round(i8['value'] / max(bf['value'], 1e-9), 4)
+                            if ok else None),
+            'extras': rows}))
         return
 
     if args.preset == 'tiny' or not on_tpu:

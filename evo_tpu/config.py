@@ -134,6 +134,16 @@ class ModelConfig:
     # mode (evo_tpu/quant.py:qdot). Per-token symmetric scales; logits
     # shift ~1e-2, so this mode is outside the 1e-3 parity contract.
     act_quant: str = 'none'
+    # int8 attention KV cache ('none' | 'int8'). At 131k context the bf16
+    # KV is 6.4 GB — the same order as the int8 weight bytes — and decode
+    # reads all of it every step, so this halves both the long-context
+    # cache footprint and the per-step cache reads (decode attention runs
+    # int8 x int8 on the MXU with per-(position, head) f32 scales;
+    # layers/attention.py:kv_quantize). Independent of weight_quant /
+    # act_quant; fresh-prefill numerics untouched (quantization error
+    # enters only on buffer readback). Strictly opt-in — the default bf16
+    # cache keeps the 1e-3 parity contract.
+    kv_quant: str = 'none'
     # Context-parallel attention algorithm when the mesh has an active cp
     # axis: 'ulysses' (GSPMD all_to_all seq<->head reshard; flash-eligible
     # dense core; needs heads % (tp*cp) == 0), 'ring' (ppermute KV
@@ -143,6 +153,7 @@ class ModelConfig:
 
     def __post_init__(self):
         assert self.cp_attn in ('ulysses', 'ring', 'zigzag'), self.cp_attn
+        assert self.kv_quant in ('none', 'int8'), self.kv_quant
         # tuples so the config is hashable (required for static jit args)
         object.__setattr__(self, 'attn_layer_idxs', tuple(self.attn_layer_idxs))
         if not self.hyena_layer_idxs:

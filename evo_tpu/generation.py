@@ -108,9 +108,11 @@ def _grow_cache(cache, needed_len: int):
     new_layers = []
     for layer in cache['layers']:
         if pad and isinstance(layer, dict) and 'k' in layer:
+            # pad every attn-cache leaf along time (axis 1): k/v
+            # (B, T, H, Dh) and — under kv_quant — the (B, T, H) scales
             new_layers.append({
-                'k': jnp.pad(layer['k'], ((0, 0), (0, pad), (0, 0), (0, 0))),
-                'v': jnp.pad(layer['v'], ((0, 0), (0, pad), (0, 0), (0, 0))),
+                kk: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+                for kk, a in layer.items()
             })
         else:
             # copy EVERY remaining leaf (offset, Hyena state, unpadded KV):

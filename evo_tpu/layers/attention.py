@@ -115,6 +115,39 @@ def _out(p, x_dtype, y, mesh=None, act_quant: bool = False):
     return o
 
 
+def _kv_norm(kv):
+    """Normalize a KV-cache argument to the dict form.
+
+    Accepts the layer cache dict ({'k','v'[, 'ks','vs']}) or the legacy
+    (k_buf, v_buf) tuple. Returns (dict, was_tuple)."""
+    if kv is None:
+        return None, False
+    if isinstance(kv, dict):
+        return kv, False
+    return {'k': kv[0], 'v': kv[1]}, True
+
+
+def _kv_denorm(st, was_tuple):
+    return (st['k'], st['v']) if was_tuple else st
+
+
+def kv_quantize(x):
+    """Symmetric int8 KV quantization, per (batch, position, head):
+    x (..., Dh) -> (q int8 same shape, scales f32 (...,)).
+
+    The opt-in `kv_quant: int8` cache mode (docs/serving.md): at 131k
+    context the bf16 attention KV is 6.4 GB — comparable to the int8
+    weight bytes — and decode reads all of it every step, so halving KV
+    bytes moves the long-context decode roofline the same way int8
+    weights move the short-context one. Scales are per-position/head so
+    a single outlier position cannot poison the whole buffer."""
+    x32 = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1) / 127.0,
+                    jnp.float32(1e-12))
+    q = jnp.clip(jnp.round(x32 / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _cp_reshard_qkv(cfg: ModelConfig, mesh, q, k, v):
     """Pin q/k/v to the context-parallel attention layout: sequence on cp,
     heads on tp (all modes). This is the layout the QKV einsum produces
@@ -150,19 +183,24 @@ def _cp_attend(cfg: ModelConfig, mesh, q, k, v, use_pallas: bool):
 
 
 def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
-             kv_buffers: Optional[Tuple[jax.Array, jax.Array]] = None,
+             kv_buffers=None,
              use_pallas: bool = False, attend_buffer: bool = False):
     """Full-sequence causal attention (prefill / scoring path).
 
-    Returns (y, kv_buffers') where kv_buffers' has k/v written at
-    [offset, offset+L) when buffers were provided (else None).
+    kv_buffers: the layer's KV cache — either the cache dict
+    ({'k','v'} bf16, or {'k','v','ks','vs'} for the int8 `kv_quant`
+    mode) or the legacy (k_buf, v_buf) tuple. Returns (y, cache') with
+    k/v written at [offset, offset+L) when buffers were provided (else
+    None), in the same form they came in.
 
     attend_buffer=True is the *continued*-prefill path (offset may be a
     traced value): queries attend over the whole static buffer with the
     mask `key_pos <= offset + query_pos`, covering all previously cached
     positions plus the causal prefix of the new block (the unwritten tail
     is masked out). The default path attends only within the new block
-    (fresh prefill; flash kernel eligible).
+    (fresh prefill; flash kernel eligible) — under `kv_quant` the fresh
+    block attends over the UNQUANTIZED k/v, so fresh-prefill numerics are
+    untouched and quantization error enters only on buffer readback.
     """
     from evo_tpu.parallel.mesh import has_cp
     q, k, v = _qkv(p, cfg, x)
@@ -179,18 +217,27 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
         return _out(p, x.dtype, attend(q, k, v), mesh,
                     act_quant=cfg.act_quant == 'int8'), None
 
-    k_buf, v_buf = kv_buffers
-    k_buf = jax.lax.dynamic_update_slice(
-        k_buf, k.astype(k_buf.dtype), (0, offset, 0, 0))
-    v_buf = jax.lax.dynamic_update_slice(
-        v_buf, v.astype(v_buf.dtype), (0, offset, 0, 0))
+    st, was_tuple = _kv_norm(kv_buffers)
+    quantized = 'ks' in st
+    if quantized:
+        kq, ksn = kv_quantize(k)
+        vq, vsn = kv_quantize(v)
+        st = {'k': _kv_write(st['k'], kq, offset),
+              'v': _kv_write(st['v'], vq, offset),
+              'ks': _kv_write(st['ks'], ksn, offset),
+              'vs': _kv_write(st['vs'], vsn, offset)}
+    else:
+        st = {'k': _kv_write(st['k'], k, offset),
+              'v': _kv_write(st['v'], v, offset)}
+    k_buf, v_buf = st['k'], st['v']
     if not attend_buffer:
         return _out(p, x.dtype, attend(q, k, v), mesh,
-                    act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
+                    act_quant=cfg.act_quant == 'int8'), \
+            _kv_denorm(st, was_tuple)
 
     B, L, H, Dh = q.shape
     T = k_buf.shape[1]
-    if use_pallas and not has_cp(mesh):
+    if use_pallas and not has_cp(mesh) and not quantized:
         from evo_tpu.ops.pallas_attention import (flash_attention_buffer,
                                                   flash_buffer_supported)
         if flash_buffer_supported(T):
@@ -215,7 +262,8 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
                     out_specs=spec, check_vma=False,
                 )(q, k_buf, v_buf, jnp.asarray(offset, jnp.int32))
             return _out(p, x.dtype, y, mesh,
-                        act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
+                        act_quant=cfg.act_quant == 'int8'), \
+                _kv_denorm(st, was_tuple)
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
     # online softmax over KV-buffer chunks: materializing the full
     # (B, H, L, T) score tensor is ~137 GB at T=131k — the exact workload
@@ -234,6 +282,11 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
         v_buf2 = jnp.pad(v_buf, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
     else:
         k_buf2, v_buf2 = k_buf, v_buf
+    if quantized:
+        ks_buf2 = jnp.pad(st['ks'], ((0, 0), (0, pad_t), (0, 0))) \
+            if pad_t else st['ks']
+        vs_buf2 = jnp.pad(st['vs'], ((0, 0), (0, pad_t), (0, 0))) \
+            if pad_t else st['vs']
     n_chunks = (T + pad_t) // C
     row = jnp.arange(L)[:, None]
 
@@ -241,6 +294,15 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
         m_prev, l_prev, acc = carry
         ks = jax.lax.dynamic_slice_in_dim(k_buf2, ci * C, C, axis=1)
         vs = jax.lax.dynamic_slice_in_dim(v_buf2, ci * C, C, axis=1)
+        if quantized:
+            # in-chunk dequantize: HBM reads stay int8; the f32 chunk
+            # temps are bounded by C like the score tensor below
+            kss = jax.lax.dynamic_slice_in_dim(ks_buf2, ci * C, C, axis=1)
+            vss = jax.lax.dynamic_slice_in_dim(vs_buf2, ci * C, C, axis=1)
+            ks = (ks.astype(q.dtype) *
+                  kss[..., None].astype(q.dtype))
+            vs = (vs.astype(q.dtype) *
+                  vss[..., None].astype(q.dtype))
         s = jnp.einsum('blhd,bthd->bhlt', q, ks.astype(q.dtype),
                        preferred_element_type=jnp.float32) * scale
         col = ci * C + jnp.arange(C)[None, :]
@@ -269,42 +331,82 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     y = jnp.swapaxes(acc / jnp.maximum(l_f, 1e-30)[..., None],
                      1, 2).astype(q.dtype)
     return _out(p, x.dtype, y, mesh,
-                act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
+                act_quant=cfg.act_quant == 'int8'), \
+        _kv_denorm(st, was_tuple)
 
 
 def _kv_write(buf, new, offset):
-    """Write new (B, L, H, Dh) into buf at `offset` along time: one
+    """Write new (B, L, ...) into buf at `offset` along time (axis 1): one
     dynamic_update_slice for a shared scalar offset, a vmapped per-row
-    write (scatter) for (B,) per-slot offsets."""
+    write (scatter) for (B,) per-slot offsets. Rank-generic so the int8
+    KV data buffers (B, T, H, Dh) and their scale buffers (B, T, H) share
+    one path."""
     if getattr(offset, 'ndim', 0) == 1:
         return jax.vmap(
-            lambda b, n, o: jax.lax.dynamic_update_slice(b, n, (o, 0, 0))
+            lambda b, n, o: jax.lax.dynamic_update_slice(
+                b, n, (o,) + (0,) * (b.ndim - 1))
         )(buf, new.astype(buf.dtype), offset)
     return jax.lax.dynamic_update_slice(
-        buf, new.astype(buf.dtype), (0, offset, 0, 0))
+        buf, new.astype(buf.dtype), (0, offset) + (0,) * (buf.ndim - 2))
 
 
 def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
     """Single-token decode step.
 
-    x_t: (B, 1, D); kv_buffers: ((B, T, H, Dh), ...); offset: tokens already
-    in the cache — a shared scalar, or a (B,) vector of per-slot offsets
-    (continuous batching, evo_tpu.serving). Attends over positions
-    [0, offset] with a static-shape mask.
+    x_t: (B, 1, D); kv_buffers: the layer cache dict ({'k','v'} bf16 or
+    {'k','v','ks','vs'} int8 `kv_quant` mode) or the legacy
+    ((B, T, H, Dh), ...) tuple; offset: tokens already in the cache — a
+    shared scalar, or a (B,) vector of per-slot offsets (continuous
+    batching, evo_tpu.serving). Attends over positions [0, offset] with a
+    static-shape mask.
     """
-    k_buf, v_buf = kv_buffers
-    B, T, H, Dh = k_buf.shape
+    st, was_tuple = _kv_norm(kv_buffers)
+    quantized = 'ks' in st
+    B, T, H, Dh = st['k'].shape
     q, k, v = _qkv(p, cfg, x_t)
     q, k = _rotate(cfg, q, k, offset)
-    k_buf = _kv_write(k_buf, k, offset)
-    v_buf = _kv_write(v_buf, v, offset)
+    if quantized:
+        kq, ksn = kv_quantize(k)
+        vq, vsn = kv_quantize(v)
+        st = {'k': _kv_write(st['k'], kq, offset),
+              'v': _kv_write(st['v'], vq, offset),
+              'ks': _kv_write(st['ks'], ksn, offset),
+              'vs': _kv_write(st['vs'], vsn, offset)}
+    else:
+        st = {'k': _kv_write(st['k'], k, offset),
+              'v': _kv_write(st['v'], v, offset)}
+    k_buf, v_buf = st['k'], st['v']
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
-    # dots run in the buffer dtype with f32 accumulation: an .astype(f32)
-    # on the buffers would MATERIALIZE an f32 KV copy (12.9 GB at 131k —
-    # XLA does not fuse converts into dot operands), doubling decode
-    # bandwidth and breaking long-context memory. Softmax stays f32.
-    s = jnp.einsum('bhd,bmhd->bhm', q[:, 0].astype(k_buf.dtype), k_buf,
-                   preferred_element_type=jnp.float32) * scale
+    if quantized:
+        # int8 x int8 decode attention: decode is cache-bandwidth-bound at
+        # long context, so the dots must READ int8 — a dequantizing
+        # .astype() on the buffers would materialize a full-size bf16 copy
+        # (XLA does not fuse converts into dot operands; see the bf16
+        # branch note below). Q is dynamically quantized per (b, h) and
+        # Q@K rescaled by both scale vectors; the softmax weights fold the
+        # V scales in and are themselves quantized per (b, h) so A@V also
+        # contracts int8 on the MXU. Numerics: one extra int8 rounding of
+        # q and of the (probability x v-scale) rows — inside this opt-in
+        # mode's error budget (composes with weight_quant int8; the
+        # default bf16 cache keeps the 1e-3 parity contract).
+        q1 = q[:, 0].astype(jnp.float32)                        # (B, H, Dh)
+        qs = jnp.maximum(jnp.max(jnp.abs(q1), axis=-1) / 127.0,
+                         jnp.float32(1e-12))                    # (B, H)
+        qq = jnp.clip(jnp.round(q1 / qs[..., None]), -127,
+                      127).astype(jnp.int8)
+        s_i32 = jnp.einsum('bhd,bmhd->bhm', qq, k_buf,
+                           preferred_element_type=jnp.int32)
+        s = (s_i32.astype(jnp.float32)
+             * (qs[..., None] * scale)
+             * jnp.swapaxes(st['ks'], 1, 2))
+    else:
+        # dots run in the buffer dtype with f32 accumulation: an
+        # .astype(f32) on the buffers would MATERIALIZE an f32 KV copy
+        # (12.9 GB at 131k — XLA does not fuse converts into dot
+        # operands), doubling decode bandwidth and breaking long-context
+        # memory. Softmax stays f32.
+        s = jnp.einsum('bhd,bmhd->bhm', q[:, 0].astype(k_buf.dtype), k_buf,
+                       preferred_element_type=jnp.float32) * scale
     if getattr(offset, 'ndim', 0) == 1:
         valid = jnp.arange(T)[None, :] <= offset[:, None]    # (B, T)
         s = jnp.where(valid[:, None, :], s, -jnp.inf)
@@ -312,8 +414,18 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
         valid = jnp.arange(T) <= offset
         s = jnp.where(valid[None, None], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1)
-    y = jnp.einsum('bhm,bmhd->bhd', a.astype(v_buf.dtype), v_buf,
-                   preferred_element_type=jnp.float32)
+    if quantized:
+        av = a * jnp.swapaxes(st['vs'], 1, 2)                # (B, H, T) f32
+        avs = jnp.maximum(jnp.max(av, axis=-1) / 127.0,
+                          jnp.float32(1e-12))                # av >= 0
+        avq = jnp.clip(jnp.round(av / avs[..., None]), -127,
+                       127).astype(jnp.int8)
+        y_i32 = jnp.einsum('bhm,bmhd->bhd', avq, v_buf,
+                           preferred_element_type=jnp.int32)
+        y = y_i32.astype(jnp.float32) * avs[..., None]
+    else:
+        y = jnp.einsum('bhm,bmhd->bhd', a.astype(v_buf.dtype), v_buf,
+                       preferred_element_type=jnp.float32)
     y = y.astype(x_t.dtype)[:, None]  # (B, 1, H, Dh)
     return _out(p, x_t.dtype, y,
-                act_quant=cfg.act_quant == 'int8'), (k_buf, v_buf)
+                act_quant=cfg.act_quant == 'int8'), _kv_denorm(st, was_tuple)

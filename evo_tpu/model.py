@@ -192,10 +192,22 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
     layers = []
     for kind, idxs in cfg.layer_segments():
         if kind == 'attn':
-            layers.append({
-                'k': jnp.zeros((batch, max_len, H, Dh), cd),
-                'v': jnp.zeros((batch, max_len, H, Dh), cd),
-            })
+            if cfg.kv_quant == 'int8':
+                # int8 KV + per-(position, head) f32 scales
+                # (layers/attention.py:kv_quantize): halves the
+                # long-context cache bytes AND the per-decode-step cache
+                # reads (opt-in; docs/serving.md)
+                layers.append({
+                    'k': jnp.zeros((batch, max_len, H, Dh), jnp.int8),
+                    'v': jnp.zeros((batch, max_len, H, Dh), jnp.int8),
+                    'ks': jnp.zeros((batch, max_len, H), jnp.float32),
+                    'vs': jnp.zeros((batch, max_len, H), jnp.float32),
+                })
+            else:
+                layers.append({
+                    'k': jnp.zeros((batch, max_len, H, Dh), cd),
+                    'v': jnp.zeros((batch, max_len, H, Dh), cd),
+                })
         else:
             # stacked run: leading axis = layers in the run (matches the
             # params['segments'][i]['stack'] layout / lax.scan xs)
@@ -319,9 +331,9 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
             h = rmsnorm(x, seg['pre_norm'], cfg.eps)
             mix, kv = mha_full(seg['attn'], cfg, h, mesh=mesh,
                                offset=offset,
-                               kv_buffers=(st['k'], st['v']),
+                               kv_buffers=st,
                                use_pallas=up, attend_buffer=resume)
-            new_layers.append({'k': kv[0], 'v': kv[1]})
+            new_layers.append(kv)
             x = x + mix
             x = x + gated_mlp(seg['mlp'],
                               rmsnorm(x, seg['post_norm'], cfg.eps),
@@ -365,9 +377,8 @@ def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
         st = cache['layers'][si]
         if kind == 'attn':
             h = rmsnorm(x, seg['pre_norm'], cfg.eps)
-            mix, kv = mha_step(seg['attn'], cfg, h, (st['k'], st['v']),
-                               offset)
-            new_layers.append({'k': kv[0], 'v': kv[1]})
+            mix, kv = mha_step(seg['attn'], cfg, h, st, offset)
+            new_layers.append(kv)
             x = x + mix
             x = x + gated_mlp(seg['mlp'],
                               rmsnorm(x, seg['post_norm'], cfg.eps),

@@ -140,7 +140,12 @@ def cache_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
     for kind, _idxs in cfg.layer_segments():
         if kind == 'attn':
             kv = NamedSharding(mesh, P('dp', None, ch, None))
-            layers.append({'k': kv, 'v': kv})
+            attn = {'k': kv, 'v': kv}
+            if cfg.kv_quant == 'int8':
+                # (B, T, H) scale buffers shard with their data's heads
+                attn['ks'] = attn['vs'] = NamedSharding(
+                    mesh, P('dp', None, ch))
+            layers.append(attn)
         else:
             # leading axis = stacked layers in the run (scan axis, unsharded)
             layers.append(HyenaState(

@@ -185,13 +185,13 @@ def _admit_slot(batch_cache, single_cache, src, slot, last_logits, temp0,
                                      batch_cache['layers'],
                                      single_cache['layers']):
         if kind == 'attn':
+            # copy every attn-cache leaf's row (k/v, plus the kv_quant
+            # scale buffers when present) — all are (B, T, ...)
             new_layers.append({
-                'k': jax.lax.dynamic_update_slice(
-                    bl['k'], _row(sl['k'], 0).astype(bl['k'].dtype),
-                    (slot, 0, 0, 0)),
-                'v': jax.lax.dynamic_update_slice(
-                    bl['v'], _row(sl['v'], 0).astype(bl['v'].dtype),
-                    (slot, 0, 0, 0)),
+                kk: jax.lax.dynamic_update_slice(
+                    bl[kk], _row(sl[kk], 0).astype(bl[kk].dtype),
+                    (slot,) + (0,) * (bl[kk].ndim - 1))
+                for kk in bl
             })
         else:
             new_layers.append(HyenaState(

@@ -22,9 +22,31 @@ jax.config.update('jax_enable_x64', False)
 
 # Persistent compilation cache: the suite's cost is dominated by hundreds of
 # tiny XLA compiles (eager-op dispatch in loops + per-shape jits); caching
-# them makes re-runs ~10x faster.
+# them makes re-runs ~10x faster. The dir is keyed by the host CPU's feature
+# flags: XLA:CPU AOT artifacts bake in the compile machine's ISA features
+# but the cache key does NOT include them, so artifacts written on one
+# machine SIGSEGV/SIGILL when loaded on a host missing a feature (observed
+# across build machines: "+prefer-no-gather is not supported on the host").
+import hashlib  # noqa: E402
+
+
+def _cpu_signature() -> str:
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    return hashlib.sha256(
+                        ' '.join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 jax.config.update('jax_compilation_cache_dir',
-                  os.path.expanduser('~/.cache/evo_tpu_jax_test_cache'))
+                  os.path.expanduser(
+                      f'~/.cache/evo_tpu_jax_test_cache_{_cpu_signature()}'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 

@@ -1,0 +1,191 @@
+"""int8 attention-KV-cache mode (`kv_quant: int8`) tests.
+
+The mode exists for long-context serving: at 131k the bf16 KV is 6.4 GB
+and every decode step reads all of it, so int8 KV halves both the cache
+footprint and the per-step cache reads (layers/attention.py:kv_quantize;
+docs/serving.md). These tests pin:
+
+  * the cache structure / byte accounting,
+  * quantize round-trip exactness on quantization-free values,
+  * decode/resumed-prefill closeness to the bf16-cache oracle (the only
+    deltas allowed are int8 roundings of k/v/q and of the softmax rows),
+  * the resumable-generation (`_grow_cache`) and serving (slot scatter,
+    per-row offsets) plumbing carrying the extra scale leaves intact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evo_tpu import model as model_lib
+from evo_tpu.config import tiny_config
+from evo_tpu.generation import Generator
+from evo_tpu.models import EvoModel
+from evo_tpu.tokenizer import CharLevelTokenizer
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = tiny_config()
+    params = model_lib.init_params(jax.random.PRNGKey(7), cfg)
+    return cfg, params
+
+
+def test_cache_structure_and_bytes(setup):
+    cfg, _ = setup
+    qcfg = cfg.replace(kv_quant='int8')
+    B, T = 2, 64
+    base = model_lib.init_cache(cfg, B, T)
+    quant = model_lib.init_cache(qcfg, B, T)
+    for layer in quant['layers']:
+        if isinstance(layer, dict) and 'k' in layer:
+            assert layer['k'].dtype == jnp.int8
+            assert layer['v'].dtype == jnp.int8
+            assert layer['ks'].shape == layer['k'].shape[:3]
+            assert layer['vs'].dtype == jnp.float32
+
+    def kv_bytes(c):
+        return sum(x.size * x.dtype.itemsize
+                   for layer in c['layers'] if isinstance(layer, dict)
+                   for x in layer.values())
+
+    # tiny config runs f32 compute: int8 data + f32/Dh scales ≈ 1/4 the
+    # bytes (bf16 production caches halve instead)
+    assert kv_bytes(quant) < 0.5 * kv_bytes(base)
+
+
+def test_kv_quantize_roundtrip_exact():
+    """Values that are exact int8 multiples of a per-(pos, head) scale
+    survive quantize->dequantize to f32 ulp (the scale s = max/127 is not
+    exactly representable, so the division contributes ~1e-7 relative —
+    the plumbing adds no int8-rounding error of its own)."""
+    from evo_tpu.layers.attention import kv_quantize
+    rng = np.random.default_rng(0)
+    ints = rng.integers(-127, 128, size=(2, 8, 4, 16)).astype(np.float32)
+    # force each (b, t, h) row to contain a ±127 so the scale is exact
+    ints[..., 0] = 127.0
+    scales = rng.uniform(0.5, 2.0, size=(2, 8, 4, 1)).astype(np.float32)
+    x = jnp.asarray(ints * scales)
+    q, s = kv_quantize(x)
+    back = q.astype(jnp.float32) * s[..., None]
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               rtol=1e-6, atol=0)
+
+
+def _prefill_decode(cfg, params, n_steps=6):
+    tok = CharLevelTokenizer(512)
+    ids = jnp.asarray(np.asarray(tok.tokenize('ACGTACGTTGCA'))[None],
+                      jnp.int32)
+    cache = model_lib.init_cache(cfg, 1, ids.shape[1] + n_steps + 1)
+    logits, cache = model_lib.prefill(params, cfg, ids, cache)
+    outs = [logits[:, -1]]
+    t = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    for _ in range(n_steps):
+        lg, cache = model_lib.decode_step(params, cfg, t, cache)
+        outs.append(lg)
+        t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    return np.stack([np.asarray(o) for o in outs]), cache
+
+
+def test_decode_close_to_bf16_cache(setup):
+    """Greedy decode with the int8 cache tracks the bf16-cache run: the
+    prefill logits are identical (fresh prefill never reads quantized
+    state) and decode logits stay within the int8 rounding budget."""
+    cfg, params = setup
+    want, _ = _prefill_decode(cfg, params)
+    got, _ = _prefill_decode(cfg.replace(kv_quant='int8'), params)
+    # step 0 logits come straight from the unquantized prefill
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-6, atol=1e-6)
+    scale = np.maximum(np.abs(want).max(), 1.0)
+    rel = np.abs(got - want).max() / scale
+    assert rel < 0.05, f'int8 KV decode diverged: rel={rel:.4f}'
+
+
+def test_resumed_prefill_buffer_path(setup):
+    """Segmented prefill (attend_buffer readback) under kv_quant: the
+    second segment's logits must stay close to the bf16-cache run —
+    exercises the in-chunk dequantize of the online-softmax path."""
+    cfg, params = setup
+
+    def run(c):
+        ids = jnp.asarray(
+            np.asarray(CharLevelTokenizer(512).tokenize(
+                'ACGTACGTTGCAGGCCTTAA'))[None], jnp.int32)
+        cache = model_lib.init_cache(c, 1, ids.shape[1] + 2)
+        _, cache = model_lib.prefill(params, c, ids[:, :12], cache)
+        lg, _ = model_lib.prefill(params, c, ids[:, 12:], cache,
+                                  resume=True)
+        return np.asarray(lg)
+
+    want = run(cfg)
+    got = run(cfg.replace(kv_quant='int8'))
+    scale = np.maximum(np.abs(want).max(), 1.0)
+    assert np.abs(got - want).max() / scale < 0.05
+
+
+def test_generator_resume_grows_quantized_cache(setup):
+    """Generator resume (`inference_params_dict=`) pads the int8 data AND
+    scale buffers (generation._grow_cache) and keeps decoding."""
+    cfg, params = setup
+    qcfg = cfg.replace(kv_quant='int8')
+    model = EvoModel(qcfg, params)
+    tok = CharLevelTokenizer(512)
+    g = Generator(model, tok, top_k=1, temperature=0.0)
+    gen1, _, ipd = g.generate(input_string='ACGTACGT', num_tokens=4)
+    for layer in ipd['layers']:
+        if isinstance(layer, dict) and 'k' in layer:
+            assert layer['k'].dtype == jnp.int8
+            T0 = layer['k'].shape[1]
+    gen2, _, ipd2 = g.generate(
+        input_ids=np.asarray(gen1)[:, -1:], num_tokens=8,
+        inference_params_dict=ipd)
+    for layer in ipd2['layers']:
+        if isinstance(layer, dict) and 'k' in layer:
+            assert layer['k'].shape[1] > T0
+            assert layer['ks'].shape[:2] == layer['k'].shape[:2]
+    # one-shot run of the same total budget agrees (resume seam is clean)
+    g2 = Generator(model, tok, top_k=1, temperature=0.0)
+    full, _, _ = g2.generate(input_string='ACGTACGT', num_tokens=12)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(gen1), np.asarray(gen2)], axis=1),
+        np.asarray(full))
+
+
+def test_server_composes_with_kv_quant(setup):
+    """Continuous batching on the int8 cache: greedy server outputs equal
+    the same config's Generator run token-for-token (per-row offsets,
+    slot scatter of the scale buffers, admission path)."""
+    from evo_tpu.serving import serve_requests
+    cfg, params = setup
+    qcfg = cfg.replace(kv_quant='int8')
+    model = EvoModel(qcfg, params)
+    tok = CharLevelTokenizer(512)
+    prompts = ['ACGTACGTAC', 'TTGG', 'GATTACA']
+    got = serve_requests(model, tok, prompts, num_tokens=6, max_slots=2,
+                         steps_per_sync=4)
+    for prompt, res in zip(prompts, got):
+        g = Generator(model, tok, top_k=1, temperature=0.0)
+        want, _, _ = g.generate(
+            input_ids=np.asarray(tok.tokenize(prompt))[None], num_tokens=6)
+        np.testing.assert_array_equal(res.token_ids, np.asarray(want)[0])
+
+
+def test_vector_offset_matches_scalar_quantized(setup):
+    """(B,) per-slot offsets through the int8 decode path == scalar
+    offsets (the serving correctness anchor, quantized edition)."""
+    cfg, params = setup
+    qcfg = cfg.replace(kv_quant='int8')
+    tok = CharLevelTokenizer(512)
+    B, P = 2, 6
+    ids = jnp.asarray(
+        np.stack([tok.tokenize('ACGTAC'), tok.tokenize('TTGGCC')]))
+    cache = model_lib.init_cache(qcfg, B, 32)
+    logits, cache_s = model_lib.prefill(params, qcfg, ids, cache)
+    cache_v = dict(cache_s)
+    cache_v['offset'] = jnp.full((B,), P, jnp.int32)
+    t = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    ls, _ = model_lib.decode_step(params, qcfg, t, cache_s)
+    lv, _ = model_lib.decode_step(params, qcfg, t, cache_v)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lv),
+                               rtol=1e-5, atol=1e-5)
