@@ -69,6 +69,11 @@ def main():
                              'int8x8 = + dynamic int8 activations; int4 = '
                              'memory-fit mode. Default bf16 keeps the '
                              'reference-parity numerics.')
+    parser.add_argument('--kv-quant', default='none',
+                        choices=['none', 'int8'],
+                        help='int8 attention KV cache: halves the '
+                             'long-context cache footprint and per-step '
+                             'cache reads (docs/serving.md; opt-in)')
     args = parser.parse_args()
 
     mesh = None
@@ -84,6 +89,8 @@ def main():
     if args.quant != 'none':
         from evo_tpu.config import cli_quant_overrides
         overrides = dict(overrides or {}, **cli_quant_overrides(args.quant))
+    if args.kv_quant != 'none':
+        overrides = dict(overrides or {}, kv_quant=args.kv_quant)
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
               random_init=args.random_init, config_overrides=overrides,
               mesh=mesh)

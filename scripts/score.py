@@ -73,6 +73,11 @@ def main():
                              'dynamic int8 activations (2x MXU prefill '
                              'rate); int4 = memory-fit mode. Default '
                              'bf16 keeps the reference-parity numerics.')
+    parser.add_argument('--kv-quant', default='none',
+                        choices=['none', 'int8'],
+                        help='int8 attention KV cache — halves the '
+                             '6.4 GB 131k KV for --segment-len scoring '
+                             '(docs/serving.md; opt-in)')
     args = parser.parse_args()
 
     # multi-host first, BEFORE any other jax call: on a TPU slice this is
@@ -105,6 +110,8 @@ def main():
     if args.quant != 'none':
         from evo_tpu.config import cli_quant_overrides
         overrides = dict(overrides or {}, **cli_quant_overrides(args.quant))
+    if args.kv_quant != 'none':
+        overrides = dict(overrides or {}, kv_quant=args.kv_quant)
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint_path,
               random_init=args.random_init, config_overrides=overrides,
               mesh=mesh)

@@ -54,6 +54,8 @@ def _build_model(args):
     if args.quant != 'none':
         from evo_tpu.config import cli_quant_overrides
         overrides = dict(overrides or {}, **cli_quant_overrides(args.quant))
+    if getattr(args, 'kv_quant', 'none') != 'none':
+        overrides = dict(overrides or {}, kv_quant=args.kv_quant)
     return Evo(args.model_name, checkpoint_path=args.checkpoint_path,
                random_init=args.random_init, config_overrides=overrides,
                mesh=mesh)
@@ -204,6 +206,12 @@ def main():
                         '--random-init)')
     p.add_argument('--quant', default='none',
                    choices=['none', 'int8', 'int8x8', 'int4'])
+    p.add_argument('--kv-quant', default='none',
+                   choices=['none', 'int8'],
+                   help='int8 attention KV cache: halves per-slot cache '
+                        'memory and long-context decode cache reads '
+                        '(docs/serving.md; opt-in, outside the 1e-3 '
+                        'parity contract)')
     p.add_argument('--dp', type=int, default=1)
     p.add_argument('--tp', type=int, default=None)
     p.add_argument('--cp', type=int, default=1)
