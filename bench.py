@@ -462,6 +462,31 @@ def kernel_verify() -> dict:
         want = jnp.einsum('bhlt,bthd->blhd', jax.nn.softmax(s, axis=-1),
                           vb.astype(jnp.float32))
         record(f'flash_buffer Lq={Lq} T={T} off={off}', got, want, 3e-2)
+    # int8-KV buffer kernel (kv_quant mode): oracle is the dense softmax
+    # over the DEQUANTIZED buffers — isolates kernel plumbing from the
+    # int8 rounding that is the mode's own (tested-elsewhere) numerics
+    from evo_tpu.layers.attention import kv_quantize
+    for Lq, T, off in [(1024, 8192, 4096), (512, 8192, 7003)]:
+        ks = jax.random.split(jax.random.fold_in(key, 7 * T + off), 3)
+        q = jax.random.normal(ks[0], (1, Lq, H, Dh), jnp.bfloat16)
+        kb = jax.random.normal(ks[1], (1, T, H, Dh), jnp.bfloat16)
+        vb = jax.random.normal(ks[2], (1, T, H, Dh), jnp.bfloat16)
+        kq, kss = kv_quantize(kb)
+        vq, vss = kv_quantize(vb)
+        got = jax.jit(flash_attention_buffer)(
+            q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
+            jnp.int32(off), jnp.swapaxes(kss, 1, 2),
+            jnp.swapaxes(vss, 1, 2))
+        kd = kq.astype(jnp.float32) * kss[..., None]
+        vd = vq.astype(jnp.float32) * vss[..., None]
+        s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
+                       kd) / (Dh ** 0.5)
+        mask = (jnp.arange(T)[None, :] <= off + jnp.arange(Lq)[:, None])
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+        want = jnp.einsum('bhlt,bthd->blhd', jax.nn.softmax(s, axis=-1),
+                          vd)
+        record(f'flash_buffer_q8 Lq={Lq} T={T} off={off}', got, want,
+               3e-2)
     # fused FIR+gate: production shape class (3 streams, 4096 channels)
     for C, L, dt, tol in [(4096, 8192, jnp.bfloat16, 3e-2),
                           (512, 1024, jnp.float32, 2e-3)]:
@@ -879,6 +904,7 @@ def bench_longdecode(kv_quant: str = 'none', context: int = 122880,
     from evo_tpu.models import Evo
     from evo_tpu.scoring import _aligned_cache_len
 
+    from evo_tpu.scoring import _cache_align
     ov = dict(weight_quant='int8')
     if kv_quant != 'none':
         ov['kv_quant'] = kv_quant
@@ -889,7 +915,7 @@ def bench_longdecode(kv_quant: str = 'none', context: int = 122880,
         np.random.default_rng(0).integers(0, 256, (1, context)), jnp.int32)
     # headroom for warmup + 2 timed legs (decode reads the full static
     # buffer each step, so the timing is offset-independent)
-    T = _aligned_cache_len(context + 3 * steps + 1)
+    T = _aligned_cache_len(context + 3 * steps + 1, _cache_align(cfg))
 
     cache = ev.model.initialize_inference_params(1, T)
     for s in range(0, context, segment):
@@ -923,7 +949,8 @@ def _longdecode_roofline(cfg, context: int, kv_quant: str) -> float:
     """tokens/s at 100% HBM bandwidth for long-context decode: int8
     weights + per-step KV-buffer reads at the benched cache length."""
     from evo_tpu.scoring import _aligned_cache_len
-    T = _aligned_cache_len(context + 128)
+    T = _aligned_cache_len(context + 128,
+                           4096 if kv_quant == 'int8' else 1024)
     n_attn = len(cfg.attn_layer_idxs)
     H, Dh = cfg.num_attention_heads, cfg.head_dim
     kv_elem = 2 * T * H * Dh * n_attn

@@ -40,7 +40,8 @@ import numpy as np
 from evo_tpu import model as model_lib
 from evo_tpu.config import ModelConfig
 from evo_tpu.ops.sampling import sample
-from evo_tpu.scoring import (_aligned_cache_len, logits_to_logprobs,
+from evo_tpu.scoring import (_aligned_cache_len, _cache_align,
+                             logits_to_logprobs,
                              prepare_batch)
 from evo_tpu.tokenizer import CharLevelTokenizer
 
@@ -79,7 +80,8 @@ def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
         cache, last_logits, rng = carry
         rng, sub = jax.random.split(rng)
         tok = choose(i, last_logits, sub)
-        new_logits, cache = model_lib.decode_step(params, cfg, tok, cache)
+        new_logits, cache = model_lib.decode_step(params, cfg, tok, cache,
+                                                  mesh=mesh)
         return (cache, new_logits, rng), (tok, last_logits)
 
     (cache, last, rng), (toks, score_logits) = jax.lax.scan(
@@ -101,19 +103,23 @@ def _grow_cache(cache, needed_len: int):
     current = None
     for layer in cache['layers']:
         if isinstance(layer, dict) and 'k' in layer:
-            current = layer['k'].shape[1]
+            # time axis: 1 for the bf16 (B, T, H, Dh) cache, 2 for the
+            # head-major quantized (B, H, T, Dh) one
+            current = layer['k'].shape[2 if 'ks' in layer else 1]
             break
     pad = 0 if (current is None or current >= needed_len) \
         else needed_len - current
     new_layers = []
     for layer in cache['layers']:
         if pad and isinstance(layer, dict) and 'k' in layer:
-            # pad every attn-cache leaf along time (axis 1): k/v
-            # (B, T, H, Dh) and — under kv_quant — the (B, T, H) scales
-            new_layers.append({
-                kk: jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
-                for kk, a in layer.items()
-            })
+            t_axis = 2 if 'ks' in layer else 1
+
+            def padt(a, _t=t_axis):
+                pads = [(0, 0)] * a.ndim
+                pads[_t] = (0, pad)
+                return jnp.pad(a, pads)
+
+            new_layers.append({kk: padt(a) for kk, a in layer.items()})
         else:
             # copy EVERY remaining leaf (offset, Hyena state, unpadded KV):
             # the generate program donates its cache argument, and the
@@ -216,7 +222,8 @@ class Generator:
             # buffer-flash kernel eligible for the segmented prefill below
             max_len = int(prompt.shape[1]) + num_forced + int(num_tokens)
             cache = self.model.initialize_inference_params(
-                B, _aligned_cache_len(max_len - 1))
+                B, _aligned_cache_len(max_len - 1,
+                                      _cache_align(cfg)))
 
         if (prefill_segment_len is not None
                 and prompt.shape[1] > prefill_segment_len):

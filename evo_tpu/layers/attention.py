@@ -148,6 +148,21 @@ def kv_quantize(x):
     return q, s
 
 
+def _kvq_write(buf, new, offset):
+    """Write position-major new values ((B, L, H, Dh) data or (B, L, H)
+    scales, fresh from `kv_quantize`) into a HEAD-MAJOR quantized cache
+    buffer ((B, H, T, Dh) / (B, H, T); time axis 2 — decode streams each
+    head's slab contiguously) at `offset` along time. Scalar or (B,)
+    per-slot offsets."""
+    new = jnp.swapaxes(new, 1, 2).astype(buf.dtype)
+    if getattr(offset, 'ndim', 0) == 1:
+        return jax.vmap(
+            lambda b, n, o: jax.lax.dynamic_update_slice(
+                b, n, (0, o) + (0,) * (b.ndim - 2)))(buf, new, offset)
+    return jax.lax.dynamic_update_slice(
+        buf, new, (0, 0, offset) + (0,) * (buf.ndim - 3))
+
+
 def _cp_reshard_qkv(cfg: ModelConfig, mesh, q, k, v):
     """Pin q/k/v to the context-parallel attention layout: sequence on cp,
     heads on tp (all modes). This is the layout the QKV einsum produces
@@ -222,10 +237,10 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     if quantized:
         kq, ksn = kv_quantize(k)
         vq, vsn = kv_quantize(v)
-        st = {'k': _kv_write(st['k'], kq, offset),
-              'v': _kv_write(st['v'], vq, offset),
-              'ks': _kv_write(st['ks'], ksn, offset),
-              'vs': _kv_write(st['vs'], vsn, offset)}
+        st = {'k': _kvq_write(st['k'], kq, offset),
+              'v': _kvq_write(st['v'], vq, offset),
+              'ks': _kvq_write(st['ks'], ksn, offset),
+              'vs': _kvq_write(st['vs'], vsn, offset)}
     else:
         st = {'k': _kv_write(st['k'], k, offset),
               'v': _kv_write(st['v'], v, offset)}
@@ -236,8 +251,8 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
             _kv_denorm(st, was_tuple)
 
     B, L, H, Dh = q.shape
-    T = k_buf.shape[1]
-    if use_pallas and not has_cp(mesh) and not quantized:
+    T = k_buf.shape[2] if quantized else k_buf.shape[1]
+    if use_pallas and not has_cp(mesh):
         from evo_tpu.ops.pallas_attention import (flash_attention_buffer,
                                                   flash_buffer_supported)
         if flash_buffer_supported(T):
@@ -247,20 +262,39 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
             # softmax below is the exact fallback. Under a (dp, tp) mesh
             # the kernel runs inside shard_map (batch on dp, heads on tp —
             # pallas_call has no GSPMD rule), same as sdpa_causal.
+            # kv_quant buffers go through the int8 kernel variant
+            # (in-VMEM dequant; HBM reads stay 1 byte/elem).
+            ks_b = st.get('ks')
+            vs_b = st.get('vs')
             if mesh is None:
-                y = flash_attention_buffer(q, k_buf, v_buf, offset)
+                y = flash_attention_buffer(q, k_buf, v_buf, offset,
+                                           ks_b, vs_b)
             else:
                 from jax.sharding import PartitionSpec as P
 
                 from evo_tpu.parallel.mesh import channel_axes
-                spec = P('dp', None, channel_axes(mesh), None)
-                y = jax.shard_map(
-                    lambda a, kk, vv, off: flash_attention_buffer(
-                        a, kk, vv, off),
-                    mesh=mesh,
-                    in_specs=(spec, spec, spec, P()),
-                    out_specs=spec, check_vma=False,
-                )(q, k_buf, v_buf, jnp.asarray(offset, jnp.int32))
+                ch = channel_axes(mesh)
+                spec = P('dp', None, ch, None)
+                if quantized:
+                    qspec = P('dp', ch, None, None)   # head-major int8
+                    sspec = P('dp', ch, None)
+                    y = jax.shard_map(
+                        lambda a, kk, vv, kss, vss, off:
+                            flash_attention_buffer(a, kk, vv, off,
+                                                   kss, vss),
+                        mesh=mesh,
+                        in_specs=(spec, qspec, qspec, sspec, sspec, P()),
+                        out_specs=spec, check_vma=False,
+                    )(q, k_buf, v_buf, ks_b, vs_b,
+                      jnp.asarray(offset, jnp.int32))
+                else:
+                    y = jax.shard_map(
+                        lambda a, kk, vv, off: flash_attention_buffer(
+                            a, kk, vv, off),
+                        mesh=mesh,
+                        in_specs=(spec, spec, spec, P()),
+                        out_specs=spec, check_vma=False,
+                    )(q, k_buf, v_buf, jnp.asarray(offset, jnp.int32))
             return _out(p, x.dtype, y, mesh,
                         act_quant=cfg.act_quant == 'int8'), \
                 _kv_denorm(st, was_tuple)
@@ -277,32 +311,36 @@ def mha_full(p, cfg: ModelConfig, x, *, mesh=None, offset=0,
     C = int(min(2048, max(256, (32 << 20) // max(1, B * H * L))))
     C = min(C, T)
     pad_t = (-T) % C
-    if pad_t:
-        k_buf2 = jnp.pad(k_buf, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
-        v_buf2 = jnp.pad(v_buf, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
-    else:
-        k_buf2, v_buf2 = k_buf, v_buf
+    t_axis = 2 if quantized else 1        # head-major quantized layout
+
+    def padt(x):
+        if not pad_t:
+            return x
+        pads = [(0, 0)] * x.ndim
+        pads[t_axis] = (0, pad_t)
+        return jnp.pad(x, pads)
+
+    k_buf2, v_buf2 = padt(k_buf), padt(v_buf)
     if quantized:
-        ks_buf2 = jnp.pad(st['ks'], ((0, 0), (0, pad_t), (0, 0))) \
-            if pad_t else st['ks']
-        vs_buf2 = jnp.pad(st['vs'], ((0, 0), (0, pad_t), (0, 0))) \
-            if pad_t else st['vs']
+        ks_buf2, vs_buf2 = padt(st['ks']), padt(st['vs'])
     n_chunks = (T + pad_t) // C
     row = jnp.arange(L)[:, None]
 
     def body(ci, carry):
         m_prev, l_prev, acc = carry
-        ks = jax.lax.dynamic_slice_in_dim(k_buf2, ci * C, C, axis=1)
-        vs = jax.lax.dynamic_slice_in_dim(v_buf2, ci * C, C, axis=1)
+        ks = jax.lax.dynamic_slice_in_dim(k_buf2, ci * C, C, axis=t_axis)
+        vs = jax.lax.dynamic_slice_in_dim(v_buf2, ci * C, C, axis=t_axis)
         if quantized:
             # in-chunk dequantize: HBM reads stay int8; the f32 chunk
-            # temps are bounded by C like the score tensor below
-            kss = jax.lax.dynamic_slice_in_dim(ks_buf2, ci * C, C, axis=1)
-            vss = jax.lax.dynamic_slice_in_dim(vs_buf2, ci * C, C, axis=1)
-            ks = (ks.astype(q.dtype) *
-                  kss[..., None].astype(q.dtype))
-            vs = (vs.astype(q.dtype) *
-                  vss[..., None].astype(q.dtype))
+            # temps are bounded by C like the score tensor below.
+            # (B, H, C, Dh) -> position-major (B, C, H, Dh) to share the
+            # einsums below (chunk-local transpose, C-bounded temps)
+            kss = jax.lax.dynamic_slice_in_dim(ks_buf2, ci * C, C, axis=2)
+            vss = jax.lax.dynamic_slice_in_dim(vs_buf2, ci * C, C, axis=2)
+            ks = jnp.swapaxes(ks.astype(q.dtype)
+                              * kss[..., None].astype(q.dtype), 1, 2)
+            vs = jnp.swapaxes(vs.astype(q.dtype)
+                              * vss[..., None].astype(q.dtype), 1, 2)
         s = jnp.einsum('blhd,bthd->bhlt', q, ks.astype(q.dtype),
                        preferred_element_type=jnp.float32) * scale
         col = ci * C + jnp.arange(C)[None, :]
@@ -350,7 +388,8 @@ def _kv_write(buf, new, offset):
         buf, new.astype(buf.dtype), (0, offset) + (0,) * (buf.ndim - 2))
 
 
-def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
+def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset,
+             use_pallas: bool = False, mesh=None):
     """Single-token decode step.
 
     x_t: (B, 1, D); kv_buffers: the layer cache dict ({'k','v'} bf16 or
@@ -362,21 +401,64 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
     """
     st, was_tuple = _kv_norm(kv_buffers)
     quantized = 'ks' in st
-    B, T, H, Dh = st['k'].shape
+    if quantized:
+        B, H, T, Dh = st['k'].shape       # head-major decode layout
+    else:
+        B, T, H, Dh = st['k'].shape
     q, k, v = _qkv(p, cfg, x_t)
     q, k = _rotate(cfg, q, k, offset)
     if quantized:
         kq, ksn = kv_quantize(k)
         vq, vsn = kv_quantize(v)
-        st = {'k': _kv_write(st['k'], kq, offset),
-              'v': _kv_write(st['v'], vq, offset),
-              'ks': _kv_write(st['ks'], ksn, offset),
-              'vs': _kv_write(st['vs'], vsn, offset)}
+        st = {'k': _kvq_write(st['k'], kq, offset),
+              'v': _kvq_write(st['v'], vq, offset),
+              'ks': _kvq_write(st['ks'], ksn, offset),
+              'vs': _kvq_write(st['vs'], vsn, offset)}
     else:
         st = {'k': _kv_write(st['k'], k, offset),
               'v': _kv_write(st['v'], v, offset)}
     k_buf, v_buf = st['k'], st['v']
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+    if quantized and use_pallas:
+        from evo_tpu.ops.pallas_attention import (flash_attention_buffer,
+                                                  flash_buffer_supported)
+        if flash_buffer_supported(T):
+            # int8-KV decode MUST go through the Pallas buffer kernel on
+            # TPU: the XLA lowering of the int8 x int8 jnp dots below
+            # CONVERTS the whole s8 buffer to s32 first (observed in the
+            # compiled HLO — 4 bytes/elem of reads, 2x WORSE than bf16;
+            # measured 39.7 vs 52.3 tok/s at a 123k offset). The kernel
+            # dequantizes blocks in VMEM so HBM traffic is the 1 byte/elem
+            # the mode promises, and its offset-based block skip bounds
+            # reads to the live prefix. Per-slot (B,) offsets supported.
+            from evo_tpu.parallel.mesh import has_cp
+            if mesh is None:
+                y = flash_attention_buffer(q, k_buf, v_buf, offset,
+                                           st['ks'], st['vs'])
+            elif not has_cp(mesh):
+                from jax.sharding import PartitionSpec as P
+
+                from evo_tpu.parallel.mesh import channel_axes
+                ch = channel_axes(mesh)
+                spec = P('dp', None, ch, None)
+                qspec = P('dp', ch, None, None)       # head-major int8
+                sspec = P('dp', ch, None)
+                off_spec = P('dp') if getattr(offset, 'ndim', 0) == 1 \
+                    else P()
+                y = jax.shard_map(
+                    lambda a, kk, vv, kss, vss, off:
+                        flash_attention_buffer(a, kk, vv, off, kss, vss),
+                    mesh=mesh,
+                    in_specs=(spec, qspec, qspec, sspec, sspec, off_spec),
+                    out_specs=spec, check_vma=False,
+                )(q, k_buf, v_buf, st['ks'], st['vs'],
+                  jnp.asarray(offset, jnp.int32))
+            else:
+                y = None
+            if y is not None:
+                return _out(p, x_t.dtype, y,
+                            act_quant=cfg.act_quant == 'int8'), \
+                    _kv_denorm(st, was_tuple)
     if quantized:
         # int8 x int8 decode attention: decode is cache-bandwidth-bound at
         # long context, so the dots must READ int8 — a dequantizing
@@ -394,11 +476,11 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
                          jnp.float32(1e-12))                    # (B, H)
         qq = jnp.clip(jnp.round(q1 / qs[..., None]), -127,
                       127).astype(jnp.int8)
-        s_i32 = jnp.einsum('bhd,bmhd->bhm', qq, k_buf,
+        s_i32 = jnp.einsum('bhd,bhtd->bht', qq, k_buf,
                            preferred_element_type=jnp.int32)
         s = (s_i32.astype(jnp.float32)
              * (qs[..., None] * scale)
-             * jnp.swapaxes(st['ks'], 1, 2))
+             * st['ks'])
     else:
         # dots run in the buffer dtype with f32 accumulation: an
         # .astype(f32) on the buffers would MATERIALIZE an f32 KV copy
@@ -415,12 +497,12 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset):
         s = jnp.where(valid[None, None], s, -jnp.inf)
     a = jax.nn.softmax(s, axis=-1)
     if quantized:
-        av = a * jnp.swapaxes(st['vs'], 1, 2)                # (B, H, T) f32
+        av = a * st['vs']                                    # (B, H, T) f32
         avs = jnp.maximum(jnp.max(av, axis=-1) / 127.0,
                           jnp.float32(1e-12))                # av >= 0
         avq = jnp.clip(jnp.round(av / avs[..., None]), -127,
                        127).astype(jnp.int8)
-        y_i32 = jnp.einsum('bhm,bmhd->bhd', avq, v_buf,
+        y_i32 = jnp.einsum('bht,bhtd->bhd', avq, v_buf,
                            preferred_element_type=jnp.int32)
         y = y_i32.astype(jnp.float32) * avs[..., None]
     else:

@@ -196,12 +196,17 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
                 # int8 KV + per-(position, head) f32 scales
                 # (layers/attention.py:kv_quantize): halves the
                 # long-context cache bytes AND the per-decode-step cache
-                # reads (opt-in; docs/serving.md)
+                # reads (opt-in; docs/serving.md). DECODE-OPTIMIZED
+                # (B, H, T, Dh) layout — time axis 2, not 1: decode is
+                # DMA-bound and streams each head's (T, Dh) slab
+                # contiguously (the (B, T, H, Dh) layout's per-head reads
+                # are 128-byte strided and measured ~2x slower end-to-end
+                # on the 123k-offset decode bench).
                 layers.append({
-                    'k': jnp.zeros((batch, max_len, H, Dh), jnp.int8),
-                    'v': jnp.zeros((batch, max_len, H, Dh), jnp.int8),
-                    'ks': jnp.zeros((batch, max_len, H), jnp.float32),
-                    'vs': jnp.zeros((batch, max_len, H), jnp.float32),
+                    'k': jnp.zeros((batch, H, max_len, Dh), jnp.int8),
+                    'v': jnp.zeros((batch, H, max_len, Dh), jnp.int8),
+                    'ks': jnp.zeros((batch, H, max_len), jnp.float32),
+                    'vs': jnp.zeros((batch, H, max_len), jnp.float32),
                 })
             else:
                 layers.append({
@@ -360,15 +365,20 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
 
 
 def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
-                cache: Params) -> Tuple[jax.Array, Params]:
+                cache: Params, mesh=None) -> Tuple[jax.Array, Params]:
     """One autoregressive step. token: (B,) or (B, 1) int32.
 
     Returns (logits (B, vocab) f32, updated cache). Reference semantics:
     feed only the last token, `seqlen_offset += 1` per step
     (`evo/generation.py:137-155`).
+
+    mesh: only needed under `kv_quant` on a device mesh — the int8-KV
+    decode attention runs a Pallas kernel that must be shard_mapped
+    (no GSPMD rule); everything else decodes fine with GSPMD alone.
     """
     if token.ndim == 1:
         token = token[:, None]
+    up = _use_pallas(cfg)
     offset = cache['offset']
     x = _embed(params, cfg, token)           # (B, 1, D)
     new_layers = []
@@ -377,7 +387,8 @@ def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
         st = cache['layers'][si]
         if kind == 'attn':
             h = rmsnorm(x, seg['pre_norm'], cfg.eps)
-            mix, kv = mha_step(seg['attn'], cfg, h, st, offset)
+            mix, kv = mha_step(seg['attn'], cfg, h, st, offset,
+                               use_pallas=up, mesh=mesh)
             new_layers.append(kv)
             x = x + mix
             x = x + gated_mlp(seg['mlp'],

@@ -76,7 +76,8 @@ class EvoModel:
         # donation would delete the caller's dict. The fused generation
         # program (generation._generate_program) owns its cache and keeps
         # donation there.
-        self._step = jax.jit(functools.partial(_step_cfg, cfg=config))
+        self._step = jax.jit(functools.partial(_step_cfg, cfg=config,
+                                               mesh=mesh))
         # Opt-in donating prefill for callers that own the cache and
         # replace it every call (score_sequences_segmented): without
         # donation each resumed segment COPIES the KV buffers — 2x 6.4 GB
@@ -141,8 +142,8 @@ def _prefill_cfg(params, ids, cache, *, cfg, mesh=None, resume=False):
                              resume=resume)
 
 
-def _step_cfg(params, token, cache, *, cfg):
-    return model_lib.decode_step(params, cfg, token, cache)
+def _step_cfg(params, token, cache, *, cfg, mesh=None):
+    return model_lib.decode_step(params, cfg, token, cache, mesh=mesh)
 
 
 def load_checkpoint(

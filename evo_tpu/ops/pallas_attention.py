@@ -110,17 +110,21 @@ def _flash_native(q, k, v, H: int, *, block_q: int, block_k: int,
 
 def _flash_buffer_kernel(off_ref, q_ref, k_ref, v_ref, o_ref,
                          m_scr, l_scr, acc_scr, *,
-                         scale: float, block_q: int, block_k: int):
+                         scale: float, block_q: int, block_k: int,
+                         heads: int):
     """Flash attention of a query segment against a full KV buffer.
 
     Query row r is absolute position `offset + r` (offset = tokens
-    already cached, a runtime scalar in SMEM via scalar prefetch); the
-    causal mask is `col <= offset + row`. K-blocks entirely in the
-    future of the whole q-block are skipped (`pl.when` with the traced
-    offset — the segmented-prefill equivalent of the causal skip)."""
+    already cached — one int32 PER BATCH ROW in SMEM via scalar
+    prefetch, so the continuous-batching decode path's per-slot offsets
+    work too; uniform callers broadcast a scalar); the causal mask is
+    `col <= offset + row`. K-blocks entirely in the future of the whole
+    q-block are skipped (`pl.when` with the traced offset — the
+    segmented-prefill equivalent of the causal skip; at decode it bounds
+    reads to the LIVE prefix of the buffer)."""
     qb = pl.program_id(1)
     kb = pl.program_id(2)
-    offset = off_ref[0]
+    offset = off_ref[pl.program_id(0) // heads]
 
     @pl.when(kb == 0)
     def _init():
@@ -162,9 +166,79 @@ def _flash_buffer_kernel(off_ref, q_ref, k_ref, v_ref, o_ref,
                     ).astype(o_ref.dtype)
 
 
-def _buffer_block_k(T: int) -> int:
-    """Largest power-of-two k-block (<= 1024, >= 128) dividing T, or 0."""
-    bk = 1024
+def _flash_buffer_kernel_q8(off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                            o_ref, m_scr, l_scr, acc_scr, *,
+                            scale: float, block_q: int, block_k: int,
+                            heads: int):
+    """int8-KV variant of `_flash_buffer_kernel` (the `kv_quant: int8`
+    cache mode, layers/attention.py): k/v blocks arrive int8 and are
+    dequantized IN VMEM against their per-(position, head) f32 scales —
+    HBM sees 1 byte/element of buffer traffic, which is the entire point
+    (the resumed-prefill cost at 131k is KV-buffer reads). Queries are
+    unquantized (fresh segment activations), so the only numerics delta
+    vs the bf16 kernel is the int8 rounding already present in the
+    stored buffer. Scales come flattened to (pad8(B*H), T): Mosaic
+    requires the second-to-last block dim be 8-divisible (or full), so
+    each grid step fetches an 8-row (8, bk) scale block and uses row
+    (B*H index) % 8 — a 32 KB/block overfetch, ~2% of the int8 KV
+    bytes it replaces."""
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    offset = off_ref[pl.program_id(0) // heads]
+    srow = pl.program_id(0) % 8
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(kb * block_k < offset + (qb + 1) * block_q)
+    def _compute():
+        q = q_ref[0]                                   # (bq, Dh)
+        kss = ks_ref[srow]                             # (bk,) f32
+        k = (k_ref[0, 0].astype(jnp.float32)
+             * kss[:, None]).astype(q.dtype)           # (bk, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
+        s = jnp.where(col <= offset + row, s, -jnp.inf)
+
+        m_prev = m_scr[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        finite = jnp.isfinite(m_new)
+        m_safe = jnp.where(finite, m_new, 0.0)
+        p = jnp.where(finite[:, None], jnp.exp(s - m_safe[:, None]), 0.0)
+        alpha = jnp.where(finite, jnp.exp(m_prev - m_safe), 1.0)
+        l_scr[:] = l_scr[:] * alpha[:, None] + \
+            jnp.sum(p, axis=-1)[:, None]
+        vss = vs_ref[srow]                             # (bk,) f32
+        v = (v_ref[0, 0].astype(jnp.float32)
+             * vss[:, None]).astype(q.dtype)           # (bk, Dh)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(
+            jnp.where(finite, m_new, m_prev)[:, None], m_scr.shape)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] /
+                    jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
+                    ).astype(o_ref.dtype)
+
+
+def _buffer_block_k(T: int, cap: int = 1024) -> int:
+    """Largest power-of-two k-block (<= cap, >= 128) dividing T, or 0.
+
+    The int8-KV path raises cap to 4096: its decode workload (Lq=1) is
+    fixed-overhead-bound per grid step at bk=1024 — 3,872 steps/layer at
+    a 123k offset cost more than the DMA they each issue — and the int8
+    blocks are small enough (bk x 128 bytes) that 4096 still double-
+    buffers comfortably in VMEM."""
+    bk = cap
     while bk >= 128:
         if T % bk == 0:
             return bk
@@ -176,22 +250,29 @@ def flash_buffer_supported(T: int) -> bool:
     return _buffer_block_k(T) > 0
 
 
-def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
-                           interpret: bool = False):
+def flash_attention_buffer(q, k_buf, v_buf, offset, ks=None, vs=None, *,
+                           block_q: int = 512, interpret: bool = False):
     """Segment-vs-buffer causal SDPA for resumed prefill.
 
     q: (B, Lq, H, Dh) — queries at absolute positions
-    [offset, offset + Lq); k_buf/v_buf: (B, T, H, Dh) KV buffers with
-    positions [0, offset + Lq) written (the tail is masked by causality,
-    so its contents are irrelevant). offset: int32 scalar (traced OK).
+    [offset, offset + Lq); k_buf/v_buf: KV buffers with positions
+    [0, offset + Lq) written (the tail is masked by causality, so its
+    contents are irrelevant) — (B, T, H, Dh) bf16/f32, or HEAD-MAJOR
+    (B, H, T, Dh) int8 when ks/vs are given (the `kv_quant: int8` cache
+    layout: each head's (T, Dh) slab streams as contiguous DMA, which is
+    what makes the DMA-bound decode case fast). offset: int32 scalar, or
+    a (B,) vector of per-row offsets (continuous-batching decode) —
+    traced OK. ks/vs: per-(position, head) f32 scales (B, H, T) for the
+    int8 buffers — both or neither.
     Returns (B, Lq, H, Dh) in q.dtype. Requires flash_buffer_supported(T)
     — allocate the buffer at a 1024-aligned length (the segmented
     scorers do) or fall back to the jnp chunked path in
     layers/attention.py.
     """
     B, Lq, H, Dh = q.shape
-    T = k_buf.shape[1]
-    bk = _buffer_block_k(T)
+    quantized = ks is not None
+    T = k_buf.shape[2] if quantized else k_buf.shape[1]
+    bk = _buffer_block_k(T, cap=4096 if quantized else 1024)
     assert bk, T
     bq = block_q
     while bq > max(8, Lq):
@@ -204,7 +285,9 @@ def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
     # index map picks head h's Dh-wide channel slice. A swapaxes to
     # (B*H, T, Dh) here would MATERIALIZE a transposed copy of the
     # whole KV buffer — 4.3 GB of temps per layer at 131k, the
-    # difference between fitting a 16 GB chip and not.
+    # difference between fitting a 16 GB chip and not. (The scale
+    # buffers DO get transposed to (B, H, T) for lane-aligned k-blocks —
+    # they are 1/256th the data size, 16 MB of temp at 131k.)
     def flat(x, pad):
         Bx, L, Hx, Dx = x.shape
         x = x.reshape(Bx, L, Hx * Dx)
@@ -213,12 +296,42 @@ def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
         return x
 
     grid = (B * H, (Lq + pad_q) // bq, T // bk)
-    kernel = functools.partial(_flash_buffer_kernel, scale=scale,
-                               block_q=bq, block_k=bk)
     q_spec = pl.BlockSpec((1, bq, Dh),
                           lambda b, i, j, off, H=H: (b // H, i, b % H))
     kv_spec = pl.BlockSpec((1, bk, Dh),
                            lambda b, i, j, off, H=H: (b // H, j, b % H))
+    if quantized:
+        kernel = functools.partial(_flash_buffer_kernel_q8, scale=scale,
+                                   block_q=bq, block_k=bk, heads=H)
+
+        def flat_scales(s):
+            # (B, H, T) -> (pad8(B*H), T): a free reshape in the
+            # head-major layout; pad rows so the (8, bk) block spec is
+            # Mosaic-legal (kernel reads row (B*H index) % 8)
+            s2 = s.reshape(B * H, T)
+            pad = (-(B * H)) % 8
+            if pad:
+                s2 = jnp.pad(s2, ((0, pad), (0, 0)),
+                             constant_values=1.0)
+            return s2.astype(jnp.float32)
+
+        # head-major int8 buffers: block (1, 1, bk, Dh) streams head
+        # (b % H)'s time-slab contiguously (128-byte-strided per-head
+        # reads of the position-major layout measured ~2x slower on the
+        # DMA-bound decode workload)
+        kvq_spec = pl.BlockSpec(
+            (1, 1, bk, Dh), lambda b, i, j, off, H=H: (b // H, b % H, j, 0))
+        s_spec = pl.BlockSpec((8, bk), lambda b, i, j, off: (b // 8, j))
+        in_specs = [q_spec, kvq_spec, kvq_spec, s_spec, s_spec]
+        operands = (flat(q, pad_q), k_buf, v_buf,
+                    flat_scales(ks), flat_scales(vs))
+        kv_bytes = 2 * B * H * T * (Dh + 4)
+    else:
+        kernel = functools.partial(_flash_buffer_kernel, scale=scale,
+                                   block_q=bq, block_k=bk, heads=H)
+        in_specs = [q_spec, kv_spec, kv_spec]
+        operands = (flat(q, pad_q), flat(k_buf, 0), flat(v_buf, 0))
+        kv_bytes = 2 * B * H * T * Dh * q.dtype.itemsize
     o = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -226,7 +339,7 @@ def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec],
+            in_specs=in_specs,
             out_specs=q_spec,
             scratch_shapes=[
                 pltpu.VMEM((bq, _LANES), jnp.float32),
@@ -236,12 +349,12 @@ def flash_attention_buffer(q, k_buf, v_buf, offset, *, block_q: int = 512,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * (Lq + pad_q) * T * Dh // 2,
-            bytes_accessed=(B * H * (2 * T + 2 * Lq) * Dh
-                            * q.dtype.itemsize),
+            bytes_accessed=(kv_bytes
+                            + 2 * B * H * Lq * Dh * q.dtype.itemsize),
             transcendentals=B * H * Lq * T // 2,
         ),
-    )(jnp.asarray(offset, jnp.int32).reshape(1),
-      flat(q, pad_q), flat(k_buf, 0), flat(v_buf, 0))
+    )(jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (B,)),
+      *operands)
     if pad_q:
         o = o[:, :Lq]
     return o.reshape(B, Lq, H, Dh)

@@ -139,12 +139,16 @@ def cache_shardings(cfg: ModelConfig, mesh: Mesh) -> Any:
     layers = []
     for kind, _idxs in cfg.layer_segments():
         if kind == 'attn':
-            kv = NamedSharding(mesh, P('dp', None, ch, None))
-            attn = {'k': kv, 'v': kv}
             if cfg.kv_quant == 'int8':
-                # (B, T, H) scale buffers shard with their data's heads
-                attn['ks'] = attn['vs'] = NamedSharding(
-                    mesh, P('dp', None, ch))
+                # head-major quantized layout (B, H, T, Dh) / (B, H, T):
+                # heads on the channel axes, like the bf16 cache
+                kv = NamedSharding(mesh, P('dp', ch, None, None))
+                attn = {'k': kv, 'v': kv,
+                        'ks': NamedSharding(mesh, P('dp', ch, None)),
+                        'vs': NamedSharding(mesh, P('dp', ch, None))}
+            else:
+                kv = NamedSharding(mesh, P('dp', None, ch, None))
+                attn = {'k': kv, 'v': kv}
             layers.append(attn)
         else:
             # leading axis = stacked layers in the run (scan axis, unsharded)

@@ -174,15 +174,22 @@ def score_stream(
     return scores
 
 
-def _aligned_cache_len(L: int) -> int:
-    """KV-buffer length for segmented prefill: L+1, rounded up to 1024
+def _aligned_cache_len(L: int, align: int = 1024) -> int:
+    """KV-buffer length for segmented prefill: L+1, rounded up to `align`
     for long sequences so the Pallas buffer-flash kernel is eligible
     (ops/pallas_attention.py:flash_buffer_supported; padded positions
-    are always causally masked). ~50 KB/position — negligible."""
+    are always causally masked). ~50 KB/position — negligible. Pass
+    align=4096 for `kv_quant: int8` caches: the int8 kernel wants
+    4096-long k-blocks (its per-grid-step cost is fixed-overhead-bound
+    at 1024 on the DMA-light decode workload)."""
     T = L + 1
     if L >= 4096:
-        T = -(-T // 1024) * 1024
+        T = -(-T // align) * align
     return T
+
+
+def _cache_align(cfg) -> int:
+    return 4096 if getattr(cfg, 'kv_quant', 'none') == 'int8' else 1024
 
 
 def _segment_bounds(L: int, segment_len: int) -> List[int]:
@@ -234,7 +241,7 @@ def score_sequences_segmented(
         ids, _ = prepare_batch([seq], tokenizer, prepend_bos=prepend_bos)
         L = ids.shape[1]
         cache = model.initialize_inference_params(
-            1, _aligned_cache_len(L))
+            1, _aligned_cache_len(L, _cache_align(model.config)))
         pieces = []
         carry_logit = None          # last logit of the previous segment
         bounds = _segment_bounds(L, segment_len)
@@ -282,7 +289,7 @@ def positional_entropies_segmented(
         ids, _ = prepare_batch([seq], tokenizer, prepend_bos=prepend_bos)
         L = ids.shape[1]
         cache = model.initialize_inference_params(
-            1, _aligned_cache_len(L))
+            1, _aligned_cache_len(L, _cache_align(model.config)))
         pieces = []
         bounds = _segment_bounds(L, segment_len)
         for s, e in zip(bounds[:-1], bounds[1:]):

@@ -121,10 +121,10 @@ def _split_slot_keys(keys):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('cfg', 'steps'),
+    static_argnames=('cfg', 'steps', 'mesh'),
     donate_argnames=('cache',))
 def _decode_chunk(params, tokens, cache, keys, temps, top_ks, top_ps, *,
-                  cfg: ModelConfig, steps: int):
+                  cfg: ModelConfig, steps: int, mesh=None):
     """Run `steps` decode+sample steps for the whole slot batch.
 
     tokens: (B,) int32 — each slot's current token (already emitted or the
@@ -134,7 +134,8 @@ def _decode_chunk(params, tokens, cache, keys, temps, top_ks, top_ps, *,
     """
     def body(carry, _):
         toks, cache, keys = carry
-        logits, cache = model_lib.decode_step(params, cfg, toks, cache)
+        logits, cache = model_lib.decode_step(params, cfg, toks, cache,
+                                              mesh=mesh)
         keys, sub = _split_slot_keys(keys)
         nxt, logp = _sample_slots(sub, logits, top_ks, top_ps, temps)
         return (nxt, cache, keys), (nxt, logp)
@@ -595,7 +596,8 @@ class GenerationServer:
          logps) = _decode_chunk(
             self.model.params, self._tokens, self._cache, self._keys,
             self._temps, self._topks, self._topps, cfg=self.cfg,
-            steps=self.steps_per_sync)
+            steps=self.steps_per_sync,
+            mesh=getattr(self.model, 'mesh', None))
         self._harvest(np.asarray(emitted), np.asarray(logps))
 
     def run(self) -> Dict[int, GenerationResult]:

@@ -136,14 +136,14 @@ def test_generator_resume_grows_quantized_cache(setup):
     for layer in ipd['layers']:
         if isinstance(layer, dict) and 'k' in layer:
             assert layer['k'].dtype == jnp.int8
-            T0 = layer['k'].shape[1]
+            T0 = layer['k'].shape[2]     # head-major: time is axis 2
     gen2, _, ipd2 = g.generate(
         input_ids=np.asarray(gen1)[:, -1:], num_tokens=8,
         inference_params_dict=ipd)
     for layer in ipd2['layers']:
         if isinstance(layer, dict) and 'k' in layer:
-            assert layer['k'].shape[1] > T0
-            assert layer['ks'].shape[:2] == layer['k'].shape[:2]
+            assert layer['k'].shape[2] > T0
+            assert layer['ks'].shape == layer['k'].shape[:3]
     # one-shot run of the same total budget agrees (resume seam is clean)
     g2 = Generator(model, tok, top_k=1, temperature=0.0)
     full, _, _ = g2.generate(input_string='ACGTACGT', num_tokens=12)
@@ -169,6 +169,124 @@ def test_server_composes_with_kv_quant(setup):
         want, _, _ = g.generate(
             input_ids=np.asarray(tok.tokenize(prompt))[None], num_tokens=6)
         np.testing.assert_array_equal(res.token_ids, np.asarray(want)[0])
+
+
+def _dequant_buffer_oracle(q, kq, kss, vq, vss, off):
+    """Dense softmax over the DEQUANTIZED buffers — the exact function
+    the int8 kernel/jnp paths compute, isolating plumbing from the int8
+    rounding (which is the mode's own, separately-tested numerics).
+    off: scalar or (B,) per-row offsets."""
+    Dh = q.shape[-1]
+    kd = kq.astype(jnp.float32) * kss[..., None]
+    vd = vq.astype(jnp.float32) * vss[..., None]
+    s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
+                   kd) / (Dh ** 0.5)
+    T, Lq = kq.shape[1], q.shape[1]
+    off = jnp.asarray(off)
+    offb = off[:, None, None] if off.ndim == 1 else off
+    mask = jnp.arange(T)[None, None, :] <= offb + \
+        jnp.arange(Lq)[None, :, None]          # (B, Lq, T)
+    s = jnp.where(mask[:, None], s, -jnp.inf)
+    return jnp.einsum('bhlt,bthd->blhd', jax.nn.softmax(s, axis=-1), vd)
+
+
+def test_flash_buffer_q8_kernel_matches_oracle(monkeypatch):
+    """Interpret-mode int8-KV buffer kernel vs the dequantized dense
+    oracle: scalar offset AND per-row (B,) offsets (the serving decode
+    shape, Lq=1)."""
+    from evo_tpu.layers.attention import kv_quantize
+    from evo_tpu.ops.pallas_attention import flash_attention_buffer
+
+    B, H, Dh, T = 2, 2, 128, 2048
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    kb = jax.random.normal(ks[1], (B, T, H, Dh), jnp.float32)
+    vb = jax.random.normal(ks[2], (B, T, H, Dh), jnp.float32)
+    kq, kss = kv_quantize(kb)
+    vq, vss = kv_quantize(vb)
+    # kernel consumes the HEAD-MAJOR cache layout (B, H, T, Dh)/(B, H, T)
+    kq_h, vq_h = jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2)
+    kss_h, vss_h = jnp.swapaxes(kss, 1, 2), jnp.swapaxes(vss, 1, 2)
+    for Lq, off in [(64, 512), (1, jnp.asarray([700, 30], jnp.int32)),
+                    (64, 0)]:
+        q = jax.random.normal(jax.random.fold_in(ks[0], Lq),
+                              (B, Lq, H, Dh), jnp.float32)
+        got = flash_attention_buffer(q, kq_h, vq_h, off, kss_h, vss_h,
+                                     interpret=True)
+        want = _dequant_buffer_oracle(q, kq, kss, vq, vss, off)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_flash_buffer_vector_offset_bf16_kernel(monkeypatch):
+    """The unquantized buffer kernel also honors per-row offsets (it
+    shares the off_ref[b] scalar-prefetch plumbing)."""
+    from evo_tpu.ops.pallas_attention import flash_attention_buffer
+
+    B, H, Dh, T, Lq = 2, 2, 128, 1024, 8
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(ks[0], (B, Lq, H, Dh), jnp.float32)
+    kb = jax.random.normal(ks[1], (B, T, H, Dh), jnp.float32)
+    vb = jax.random.normal(ks[2], (B, T, H, Dh), jnp.float32)
+    off = jnp.asarray([100, 900], jnp.int32)
+    got = flash_attention_buffer(q, kb, vb, off, interpret=True)
+    per_row = [flash_attention_buffer(q[i:i + 1], kb[i:i + 1],
+                                      vb[i:i + 1], int(off[i]),
+                                      interpret=True) for i in range(B)]
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.concatenate(per_row)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mha_step_kernel_path_matches_oracle(setup, monkeypatch):
+    """mha_step's int8-KV Pallas route (use_pallas=True) stays close to
+    the dequantized oracle and to the jnp int8 x int8 fallback — the two
+    paths differ only by which side carries the int8 rounding of q and
+    of the softmax rows."""
+    import evo_tpu.ops.pallas_attention as pa
+    from evo_tpu.layers.attention import mha_step
+
+    orig = pa.flash_attention_buffer
+    monkeypatch.setattr(
+        pa, 'flash_attention_buffer',
+        lambda *a, **kw: orig(*a, interpret=True, **kw))
+
+    cfg, _ = setup
+    qcfg = cfg.replace(kv_quant='int8')
+    D, H, Dh = 256, 2, 128
+    acfg = qcfg.replace(hidden_size=D, num_attention_heads=H)
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    p = {'wqkv': jax.random.normal(ks[0], (D, 3, H, Dh)) * 0.05,
+         'bqkv': jax.random.normal(ks[1], (3, H, Dh)) * 0.01,
+         'wo': jax.random.normal(ks[2], (H, Dh, D)) * 0.05,
+         'bo': jnp.zeros((D,))}
+    B, T, off = 2, 1024, 37
+    x_t = jax.random.normal(ks[3], (B, 1, D), jnp.float32)
+    # head-major quantized cache layout (model.init_cache)
+    st = {'k': jnp.zeros((B, H, T, Dh), jnp.int8),
+          'v': jnp.zeros((B, H, T, Dh), jnp.int8),
+          'ks': jnp.zeros((B, H, T), jnp.float32),
+          'vs': jnp.zeros((B, H, T), jnp.float32)}
+    # seed the live prefix with quantized random K/V
+    from evo_tpu.layers.attention import kv_quantize
+    kb = jax.random.normal(ks[4], (B, off, H, Dh), jnp.float32)
+    vb = jax.random.normal(ks[5], (B, off, H, Dh), jnp.float32)
+    kq, kss = kv_quantize(kb)
+    vq, vss = kv_quantize(vb)
+    st['k'] = st['k'].at[:, :, :off].set(jnp.swapaxes(kq, 1, 2))
+    st['v'] = st['v'].at[:, :, :off].set(jnp.swapaxes(vq, 1, 2))
+    st['ks'] = st['ks'].at[:, :, :off].set(jnp.swapaxes(kss, 1, 2))
+    st['vs'] = st['vs'].at[:, :, :off].set(jnp.swapaxes(vss, 1, 2))
+    got_k, st_k = mha_step(p, acfg, x_t, st, jnp.int32(off),
+                           use_pallas=True)
+    got_j, st_j = mha_step(p, acfg, x_t, st, jnp.int32(off),
+                           use_pallas=False)
+    scale = np.maximum(np.abs(np.asarray(got_j)).max(), 1.0)
+    assert np.abs(np.asarray(got_k) - np.asarray(got_j)).max() / scale \
+        < 0.05
+    # the written buffers are identical regardless of the attend path
+    for kk in st_k:
+        np.testing.assert_array_equal(np.asarray(st_k[kk]),
+                                      np.asarray(st_j[kk]))
 
 
 def test_vector_offset_matches_scalar_quantized(setup):
