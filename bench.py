@@ -593,12 +593,18 @@ def kernel_verify() -> dict:
 
 
 def _run_all(args) -> None:
-    """Preset 'all': the full driver-relevant metric set in ONE JSON line
-    (VERDICT r1 next-step #3) — headline 8k prefill plus extras for the
-    131k-config prefill, fused decode at B=1/B=8, the scoring pipeline,
-    and the on-chip kernel verification. Sections are skipped (and marked)
-    once the wall-clock budget is spent; compile caching makes warm reruns
-    cover everything."""
+    """Preset 'all': the full driver-relevant metric set, driver-proof
+    (VERDICT r3 next-step #1). A cumulative JSON line is printed (flushed)
+    after the headline and after EVERY completed section, so an external
+    kill at any point still leaves the driver's tail-parse with every
+    number measured so far — BENCH_r03 was rc=124/parsed=null because the
+    old all-or-nothing single print lost the whole run. A SIGTERM/SIGINT
+    handler additionally dumps the partial line on the way out. Sections
+    are skipped (and marked) once the wall-clock budget is spent; compile
+    caching makes warm reruns cover everything."""
+    import os
+    import signal
+
     from evo_tpu.models import config_for_model
 
     t_start = time.time()
@@ -606,6 +612,37 @@ def _run_all(args) -> None:
     cfg8 = config_for_model('evo-1-8k-base')
     extras: dict = {}
     target8 = 0.5 * _chip_peak_flops() / _model_flops_per_token(cfg8)
+    state = {'tps8': None, 'final': False}
+
+    def emit(final: bool = False) -> None:
+        """Print the cumulative result line (flushed). Non-final lines are
+        marked partial; the driver tail-parses, so the last line printed
+        before any kill is what gets recorded."""
+        tps8 = state['tps8']
+        row = {
+            'metric': 'prefill_tokens_per_sec_per_chip_evo-1-8k-base-7b',
+            'value': round(tps8, 2) if tps8 is not None else None,
+            'unit': 'tokens/s',
+            'vs_baseline': (round(tps8 / target8, 4)
+                            if tps8 is not None else None),
+            'extras': dict(extras),
+            'bench_seconds': round(time.time() - t_start, 1),
+        }
+        if not final:
+            row['partial'] = True
+        print(json.dumps(row), flush=True)
+
+    def _on_term(signum, frame):                       # noqa: ARG001
+        if not state['final']:
+            extras['_terminated'] = f'signal {signum}'
+            emit(final=True)
+        child = _CHILD.get('proc')
+        if child is not None and child.poll() is None:
+            child.terminate()
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     def left() -> float:
         return deadline - time.time()
@@ -620,16 +657,21 @@ def _run_all(args) -> None:
         if left() <= 0:
             extras[key] = 'skipped (budget)'
             return
+        t_sec = time.time()
         for attempt in range(retries + 1):
             gc.collect()
             try:
                 extras[key] = fn()
+                if isinstance(extras[key], dict):
+                    extras[key]['t_s'] = round(time.time() - t_sec, 1)
+                emit()
                 return
             except Exception as e:                    # noqa: BLE001
                 err = f'error: {type(e).__name__}: {str(e)[:120]}'
                 if attempt < retries and left() > 0:
                     time.sleep(10)
         extras[key] = err
+        emit()
 
     # ONE shared bf16 7B tree for every cfg8 section: each 12.9 GB
     # init/free cycle stresses the tunneled backend's allocator (the
@@ -643,7 +685,8 @@ def _run_all(args) -> None:
             shared['params'] = _init_params(cfg8)
         return shared['params']
 
-    # headline: 7B prefill B=1 L=8192 (always measured, with retry)
+    # headline: 7B prefill B=1 L=8192 (always measured, with retry);
+    # printed IMMEDIATELY so the driver always has at least this number
     tps8 = None
     for attempt in range(3):
         try:
@@ -654,14 +697,27 @@ def _run_all(args) -> None:
                                         f'{str(e)[:120]}')
             shared['params'] = None
             time.sleep(15)
+    state['tps8'] = tps8
+    emit()
 
     # kernel verification first among the extras: it is the regression
     # guard (a wrong kernel invalidates every other number)
     def _kv():
         kv = kernel_verify()
         return (f"{kv['status']} ({kv['checks']} checks, "
-                f"max_err {kv['max_err']:.2e})")
+                f"max_err(rel) {kv['max_err']:.2e})")
     section('kernel_verify', _kv)
+
+    def latency_row():
+        tps, stats = bench_serving_latency(cfg8, params=params8())
+        return {'value': round(tps, 2),
+                'unit': 'generated tokens/s aggregate (open-loop)',
+                'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4),
+                **stats}
+    # early among the extras (VERDICT r3 #8): TTFT/TPOT percentiles are
+    # the serving metric pair that matters; under the old ordering the
+    # 600s gate meant this row never reached a driver-budget run
+    section('serving_latency_poisson', latency_row)
 
     def decode_row(batch, quant, params):
         # vs_baseline is always relative to the bf16 HBM roofline, so
@@ -693,21 +749,6 @@ def _run_all(args) -> None:
                 'unit': 'generated tokens/s aggregate',
                 'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
     section('serving_continuous_batching', serving_row)
-
-    def latency_row():
-        tps, stats = bench_serving_latency(cfg8, params=params8())
-        return {'value': round(tps, 2),
-                'unit': 'generated tokens/s aggregate (open-loop)',
-                'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4),
-                **stats}
-    # guarded tighter than the generic budget gate: two open-loop runs +
-    # a cold sps=8 decode compile can cost ~6 min, and the isolated rows
-    # at the end (incl. the flagship full-131k row) matter more
-    if left() > 600:
-        section('serving_latency_poisson', latency_row)
-    else:
-        extras['serving_latency_poisson'] = ('skipped (budget; see '
-                                             'BASELINE.md)')
 
     for batch in (1, 8):
         section(f'decode_fused_b{batch}',
@@ -756,12 +797,16 @@ def _run_all(args) -> None:
         if left() < floor_s:
             extras[key] = ('skipped (budget; see BASELINE.md for the '
                            'last measured value)')
+            emit()
             continue
-        res = _run_isolated(sect, min(left() + 30, cap_s))
+        # cap comes out of the REMAINING budget (r3 used left()+30 which
+        # could overrun the envelope by design — VERDICT r3 #1b)
+        res = _run_isolated(sect, min(left(), cap_s))
         if isinstance(res, str) and res.startswith('error') \
                 and left() > floor_s and 'timeout' not in res:
-            res = _run_isolated(sect, min(left() + 30, cap_s))
+            res = _run_isolated(sect, min(left(), cap_s))
         extras[key] = res
+        emit()
 
     # fill in vs_baseline for the int8 prefill row (isolated-row children
     # compute their own)
@@ -769,36 +814,40 @@ def _run_all(args) -> None:
         extras['prefill_8k_int8']['vs_baseline'] = round(
             extras['prefill_8k_int8']['value'] / target8, 4)
 
-    print(json.dumps({
-        'metric': 'prefill_tokens_per_sec_per_chip_evo-1-8k-base-7b',
-        'value': round(tps8, 2) if tps8 is not None else None,
-        'unit': 'tokens/s',
-        'vs_baseline': (round(tps8 / target8, 4)
-                        if tps8 is not None else None),
-        'extras': extras,
-        'bench_seconds': round(time.time() - t_start, 1),
-    }))
+    state['final'] = True
+    emit(final=True)
+
+
+_CHILD: dict = {}
 
 
 def _run_isolated(section: str, timeout_s: float):
     """Run one bench section in a fresh python process (clean backend
-    allocator state) and return its parsed JSON row, or an error string."""
+    allocator state) and return its parsed JSON row, or an error string.
+    The child handle is tracked so the parent's SIGTERM handler can
+    terminate it (no orphaned 7B inits holding the chip)."""
     import subprocess
 
     cmd = [sys.executable, __file__, '--section', section]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    _CHILD['proc'] = proc
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=max(60.0, timeout_s))
+        out, err = proc.communicate(timeout=max(60.0, timeout_s))
     except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
         return f'error: timeout after {int(timeout_s)}s (isolated process)'
-    for line in reversed((r.stdout or '').strip().splitlines()):
+    finally:
+        _CHILD['proc'] = None
+    for line in reversed((out or '').strip().splitlines()):
         try:
             return json.loads(line)
         except ValueError:
             continue
-    tail = [ln for ln in (r.stderr or '').strip().splitlines() if ln]
+    tail = [ln for ln in (err or '').strip().splitlines() if ln]
     return 'error: ' + (tail[-1][:200] if tail
-                        else f'rc={r.returncode}, no output')
+                        else f'rc={proc.returncode}, no output')
 
 
 def _run_section(section: str) -> None:
@@ -957,12 +1006,30 @@ def _longdecode_roofline(cfg, context: int, kv_quant: str) -> float:
     kv_bytes = kv_elem * (1 if kv_quant == 'int8' else 2)
     if kv_quant == 'int8':
         kv_bytes += 2 * T * H * n_attn * 4          # f32 scale buffers
-    # int8 weights: ~97% of param bytes at 1 byte + f32 scales (small)
-    param_bytes = sum(
-        x.size for x in jax.tree_util.tree_leaves(
-            jax.eval_shape(lambda k: __import__(
-                'evo_tpu.model', fromlist=['model']).init_params(k, cfg),
-                jax.random.PRNGKey(0))))
+    # Per-leaf post-quantization pricing (ADVICE r3): projection leaves
+    # (the names quantize_params targets) cost 1 byte/elem + f32 scales;
+    # everything else (embeddings, norms, poles/residues) keeps its real
+    # itemsize. Pricing every leaf at 1 byte understated the denominator
+    # and inflated pct_roofline.
+    from evo_tpu.quant import _QUANT_AXES
+    shapes = jax.eval_shape(
+        lambda k: __import__('evo_tpu.model',
+                             fromlist=['model']).init_params(k, cfg),
+        jax.random.PRNGKey(0))
+
+    def leaf_bytes(path, x):
+        keys = [getattr(k, 'key', None) for k in path]
+        name = keys[-1] if keys else None
+        if name in _QUANT_AXES:
+            off = 1 if 'stack' in keys else 0    # leading scan axis
+            n_scale = x.size
+            for ax in _QUANT_AXES[name]:
+                n_scale //= x.shape[ax + off]
+            return x.size + 4 * n_scale
+        return x.size * x.dtype.itemsize
+
+    param_bytes = sum(jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map_with_path(leaf_bytes, shapes)))
     hbm = {'v5 lite': 819e9, 'v5e': 819e9, 'v5p': 2765e9,
            'v4': 1228e9, 'v6': 1638e9}
     try:
@@ -980,10 +1047,12 @@ def main():
                              'generate', 'tiny', 'scaling', 'full131k',
                              'serving', 'serving_latency', 'speculative',
                              'longdecode'])
-    ap.add_argument('--budget-s', type=float, default=1380.0,
+    ap.add_argument('--budget-s', type=float, default=540.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
-                         'warm reruns fit easily)')
+                         'warm reruns fit easily). Kept under the ~10 min '
+                         'driver envelope — r3 at 1380 s was killed '
+                         '(BENCH_r03 rc=124) and lost every number')
     ap.add_argument('--section', default=None,
                     choices=('p131', 'int4', 'full131k', 'ldec_bf16',
                              'ldec_int8'),
