@@ -410,6 +410,7 @@ def kernel_verify() -> dict:
     from evo_tpu.ops.pallas_rmsnorm import rmsnorm_pallas
 
     checks = []
+    t_last = [time.perf_counter()]
 
     def record(name, got, want, tol):
         got = np.asarray(got, np.float32)
@@ -419,7 +420,10 @@ def kernel_verify() -> dict:
         # on the tol scale instead of looking absolute-alarming
         scale = max(1.0, float(np.max(np.abs(want))))
         err = float(np.max(np.abs(got - want))) / scale
-        checks.append({'name': name, 'err': err, 'ok': bool(err <= tol)})
+        now = time.perf_counter()
+        checks.append({'name': name, 'err': err, 'ok': bool(err <= tol),
+                       't_s': round(now - t_last[0], 1)})
+        t_last[0] = now
 
     key = jax.random.PRNGKey(0)
     # flash attention: production blocks (512, 1024), the block_q > block_k
@@ -589,6 +593,7 @@ def kernel_verify() -> dict:
                                        if not c['ok']),
         'checks': len(checks),
         'max_err': max(c['err'] for c in checks),
+        'detail': checks,
     }
 
 

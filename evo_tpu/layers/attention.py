@@ -85,6 +85,11 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
             check_vma=False)
         return fn(q, k, v)
     B, L, H, Dh = q.shape
+    if L > _DENSE_ATTN_MAX:
+        # the dense (L, L) score matrix is quadratic in L (131k would be
+        # terabytes); past this size the flash-style chunked core is the
+        # only feasible non-Pallas form. Same f32-softmax numerics.
+        return chunked_sdpa_causal(q, k, v)
     scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
     s = jnp.einsum('blhd,bmhd->bhlm', q.astype(jnp.float32),
                    k.astype(jnp.float32),
@@ -95,6 +100,88 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
     y = jnp.einsum('bhlm,bmhd->blhd', a, v.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return y.astype(q.dtype)
+
+
+# largest L the dense O(L^2) score materialization is allowed for; above
+# this `sdpa_causal` dispatches to the chunked flash-style core (at 7B
+# H=32 the dense f32 scores are 0.5 GB at L=2048 but 8.6 GB at L=8192)
+_DENSE_ATTN_MAX = 2048
+_KVQ_FALLBACK_WARNED: list = []
+_NEG = jnp.float32(-1e30)
+
+
+def chunked_sdpa_causal(q, k, v, *, block: int = 512):
+    """Causal self-attention with flash-style online softmax in pure lax:
+    O(L * block) memory instead of the dense O(L^2) score matrix.
+
+    This is the long-context attention core for every context where the
+    Pallas kernel is unavailable — CPU / virtual-mesh runs, and the local
+    per-device body of Ulysses context parallelism at 131k (the all_to_all
+    hands each device the FULL sequence for its head group; a dense core
+    there needs L^2 * H_local * 4 bytes, which is what pushed the r3
+    131k-config compile to 15 GB/device temps). Key blocks strictly above
+    the causal diagonal are skipped with `lax.cond`, so compute is
+    near-causal-optimal, not 2x. Matches `sdpa_causal` dense numerics
+    (f32 accumulation; tests/test_pallas_attention.py).
+    """
+    B, L, H, Dh = q.shape
+    pad = (-L) % block
+    if pad:
+        zw = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q = jnp.pad(q, zw)
+        k = jnp.pad(k, zw)
+        v = jnp.pad(v, zw)
+    Lp = L + pad
+    n = Lp // block
+    scale = 1.0 / (Dh ** 0.5)
+    # (n, B, block, H, Dh) — scan-major block axes
+    qb = jnp.moveaxis(q.reshape(B, n, block, H, Dh), 1, 0)
+    kb = jnp.moveaxis(k.reshape(B, n, block, H, Dh), 1, 0)
+    vb = jnp.moveaxis(v.reshape(B, n, block, H, Dh), 1, 0)
+    kv_valid = (jnp.arange(Lp) < L).reshape(n, block)
+    rng = jnp.arange(block, dtype=jnp.int32)
+
+    def q_block(qi, q_i):
+        q32 = q_i.astype(jnp.float32) * scale
+
+        def body(carry, inp):
+            kj, k_j, v_j, valid_j = inp
+
+            def compute(carry):
+                m, l, acc = carry
+                s = jnp.einsum('blhd,bmhd->bhlm', q32,
+                               k_j.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+                mask = ((kj * block + rng)[None, :]
+                        <= (qi * block + rng)[:, None]) & valid_j[None, :]
+                s = jnp.where(mask[None, None], s, _NEG)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+                p = jnp.exp(s - m_new[..., None])
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + jnp.sum(p, axis=-1)
+                acc_new = acc * alpha[..., None] + jnp.einsum(
+                    'bhlm,bmhd->bhld', p, v_j.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+                return m_new, l_new, acc_new
+
+            return jax.lax.cond(kj <= qi, compute, lambda c: c, carry), ()
+
+        init = (jnp.full((B, H, block), -jnp.inf, jnp.float32),
+                jnp.zeros((B, H, block), jnp.float32),
+                jnp.zeros((B, H, block, Dh), jnp.float32))
+        (m, l, acc), _ = jax.lax.scan(
+            body, init, (jnp.arange(n, dtype=jnp.int32), kb, vb, kv_valid))
+        out = acc / jnp.maximum(l[..., None], 1e-30)
+        return jnp.swapaxes(out, 1, 2)          # (B, block, H, Dh)
+
+    def outer(_, inp):
+        qi, q_i = inp
+        return None, q_block(qi, q_i)
+
+    _, ob = jax.lax.scan(outer, None,
+                         (jnp.arange(n, dtype=jnp.int32), qb))
+    out = jnp.moveaxis(ob, 0, 1).reshape(B, Lp, H, Dh)[:, :L]
+    return out.astype(q.dtype)
 
 
 def _out(p, x_dtype, y, mesh=None, act_quant: bool = False):
@@ -459,6 +546,22 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset,
                 return _out(p, x_t.dtype, y,
                             act_quant=cfg.act_quant == 'int8'), \
                     _kv_denorm(st, was_tuple)
+    if quantized and use_pallas and jax.default_backend() == 'tpu' \
+            and not _KVQ_FALLBACK_WARNED:
+        # reaching here on TPU means the Pallas int8-KV kernel was
+        # ineligible (cache length not 4096-divisible, or a cp mesh) and
+        # decode will take the jnp int8 path below — measured SLOWER than
+        # a plain bf16 cache (39.7 vs 52.3 tok/s at a 123k offset), so the
+        # opt-in speed mode is silently a pessimization. Warn once at
+        # trace time (ADVICE r3).
+        _KVQ_FALLBACK_WARNED.append(True)
+        import warnings
+        warnings.warn(
+            f'kv_quant int8 decode fell back to the jnp int8 path '
+            f'(cache length {T} not kernel-eligible, or context-parallel '
+            f'mesh); this is slower than a bf16 cache. Align the cache '
+            f'length to 4096 (scoring/generation/serving do this '
+            f'automatically) or disable kv_quant.', stacklevel=2)
     if quantized:
         # int8 x int8 decode attention: decode is cache-bandwidth-bound at
         # long context, so the dots must READ int8 — a dequantizing
@@ -502,9 +605,23 @@ def mha_step(p, cfg: ModelConfig, x_t, kv_buffers, offset,
                           jnp.float32(1e-12))                # av >= 0
         avq = jnp.clip(jnp.round(av / avs[..., None]), -127,
                        127).astype(jnp.int8)
-        y_i32 = jnp.einsum('bht,bhtd->bhd', avq, v_buf,
-                           preferred_element_type=jnp.int32)
-        y = y_i32.astype(jnp.float32) * avs[..., None]
+        # A@V contracted in T-chunks with f32 partial sums: a single int32
+        # accumulation saturates at |sum| = 127*127*T > INT32_MAX once T
+        # exceeds ~133k (near-uniform attention over same-sign v) — inside
+        # the context range this mode targets. Per-chunk int32 is exact
+        # (127*127*32768 << 2^31); the cross-chunk sum is f32.
+        Tc = next((c for c in (32768, 16384, 8192, 4096, 2048, 1024)
+                   if T % c == 0), None)
+        if Tc is not None and T > Tc:
+            y_i32 = jnp.einsum(
+                'bhct,bhctd->bhcd', avq.reshape(B, H, T // Tc, Tc),
+                v_buf.reshape(B, H, T // Tc, Tc, Dh),
+                preferred_element_type=jnp.int32)
+            y = jnp.sum(y_i32.astype(jnp.float32), axis=2) * avs[..., None]
+        else:
+            y_i32 = jnp.einsum('bht,bhtd->bhd', avq, v_buf,
+                               preferred_element_type=jnp.int32)
+            y = y_i32.astype(jnp.float32) * avs[..., None]
     else:
         y = jnp.einsum('bhm,bmhd->bhd', a.astype(v_buf.dtype), v_buf,
                        preferred_element_type=jnp.float32)

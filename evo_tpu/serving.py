@@ -317,7 +317,23 @@ class GenerationServer:
         # follow-up prompts: {'key': bytes, 'cache', 'last_logits'}
         self._prefix: Optional[dict] = None
 
-        cache = model.initialize_inference_params(max_slots, max_len)
+        # Under `kv_quant: int8`, size the CACHE at the int8 buffer
+        # kernel's eligible multiple (4096-long k-blocks): a user-chosen
+        # max_len that isn't kernel-eligible would silently drop decode to
+        # the jnp int8 fallback, which is SLOWER than bf16 (the mode would
+        # pessimize the very thing it's for — ADVICE r3). Padded positions
+        # are never attended (offset mask) and, being int8, cost ~25 KB
+        # per position per slot. self.max_len keeps the user's bound.
+        cache_len = max_len
+        if getattr(self.cfg, 'kv_quant', 'none') == 'int8':
+            # kernel eligibility needs a power-of-two block (>=128)
+            # dividing T (ops/pallas_attention.py:_buffer_block_k); the
+            # 4096 alignment additionally gets the big k-blocks the
+            # DMA-light decode grid wants at long context
+            align = 4096 if max_len >= 4096 else 128
+            cache_len = -(-max_len // align) * align
+        self._cache_len = cache_len
+        cache = model.initialize_inference_params(max_slots, cache_len)
         # scalar offset -> per-slot offset vector (decode_step broadcasts)
         cache['offset'] = jnp.zeros((max_slots,), jnp.int32)
         self._cache = cache
@@ -325,7 +341,7 @@ class GenerationServer:
         # through every prefill); the batched one is built lazily on the
         # first k-row fill
         self._prefill_caches = {1: model.initialize_inference_params(
-            1, max_len)}
+            1, cache_len)}
         self._tokens = jnp.zeros((max_slots,), jnp.int32)
         self._temps = jnp.zeros((max_slots,), jnp.float32)
         self._topks = jnp.full((max_slots,), int(top_k), jnp.int32)
@@ -486,7 +502,7 @@ class GenerationServer:
                     self._prefill_caches[1] = self._prefix['cache']
                 else:
                     self._prefill_caches[1] = self.model.\
-                        initialize_inference_params(1, self.max_len)
+                        initialize_inference_params(1, self._cache_len)
                 self._prefix = {'key': f['reqs'][0].input_ids.tobytes(),
                                 'cache': filled,
                                 'last_logits': last_logits}
@@ -540,7 +556,7 @@ class GenerationServer:
                     reqs.append(m)
                 if g not in self._prefill_caches:
                     self._prefill_caches[g] = self.model.\
-                        initialize_inference_params(g, self.max_len)
+                        initialize_inference_params(g, self._cache_len)
         self._fill = {'slots': free[:len(reqs)], 'reqs': reqs,
                       'ids': jnp.asarray(
                           np.stack([r.input_ids for r in reqs])),

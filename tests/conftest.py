@@ -31,17 +31,31 @@ import hashlib  # noqa: E402
 
 
 def _cpu_signature() -> str:
+    """Host fingerprint for the XLA:CPU AOT cache key. Must include the
+    CPU MODEL, not just the feature flags: XLA derives LLVM tuning
+    features like +prefer-no-gather from the detected CPU model, so two
+    hosts with identical cpuinfo flag sets can still produce mutually
+    SIGSEGV-ing AOT artifacts (observed: a cached suite run died at 82%
+    loading an artifact compiled on a sibling machine)."""
+    parts = []
     try:
         with open('/proc/cpuinfo') as f:
             for line in f:
+                key = line.split(':')[0].strip()
+                if key in ('model name', 'cpu family', 'model',
+                           'stepping'):
+                    parts.append(line.strip())
                 if line.startswith('flags'):
-                    return hashlib.sha256(
-                        ' '.join(sorted(line.split()[2:])).encode()
-                    ).hexdigest()[:12]
+                    parts.append(' '.join(sorted(line.split()[2:])))
+                    break            # flags end the per-core stanza
     except OSError:
         pass
-    import platform
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+    if not parts:
+        import platform
+        parts = [platform.processor()]
+    import jax.version
+    parts.append(jax.version.__version__)
+    return hashlib.sha256('|'.join(parts).encode()).hexdigest()[:12]
 
 
 jax.config.update('jax_compilation_cache_dir',

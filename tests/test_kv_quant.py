@@ -171,6 +171,32 @@ def test_server_composes_with_kv_quant(setup):
         np.testing.assert_array_equal(res.token_ids, np.asarray(want)[0])
 
 
+def test_server_cache_kernel_aligned(setup):
+    """Under kv_quant the server sizes its decode cache at the int8
+    buffer kernel's eligible multiple (4096-long k-blocks): a user-chosen
+    max_len that isn't eligible would silently pessimize decode to the
+    jnp int8 fallback (slower than bf16 — ADVICE r3). The user's max_len
+    stays the admission bound."""
+    from evo_tpu.serving import GenerationServer
+    cfg, params = setup
+    qcfg = cfg.replace(kv_quant='int8')
+    from evo_tpu.ops.pallas_attention import flash_buffer_supported
+    srv = GenerationServer(EvoModel(qcfg, params), max_slots=2,
+                           max_len=300)
+    assert srv.max_len == 300                    # admission bound kept
+    assert flash_buffer_supported(srv._cache_len)
+    assert srv._cache_len == 384                 # short server: 128-align
+    srv_long = GenerationServer(EvoModel(qcfg, params), max_slots=1,
+                                max_len=5000)
+    assert srv_long._cache_len == 8192           # long: 4096-align
+    k_buf = srv._cache['layers'][qcfg.attn_layer_idxs[0]]['k']
+    assert k_buf.shape[2] == srv._cache_len      # head-major (B,H,T,Dh)
+    # bf16 mode: cache stays exactly max_len (no silent growth)
+    srv_bf16 = GenerationServer(EvoModel(cfg, params), max_slots=2,
+                                max_len=300)
+    assert srv_bf16._cache_len == 300
+
+
 def _dequant_buffer_oracle(q, kq, kss, vq, vss, off):
     """Dense softmax over the DEQUANTIZED buffers — the exact function
     the int8 kernel/jnp paths compute, isolating plumbing from the int8
