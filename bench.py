@@ -395,11 +395,18 @@ def _decode_roofline(cfg, batch: int) -> float:
 
 
 def kernel_verify() -> dict:
-    """Compiled-on-chip oracle checks for every Pallas kernel across the
-    production block/length/dtype grid (VERDICT r1 next-step #4): the
-    regression guard the round-1 flash-attention causal-skip bug showed is
-    needed. Runs on whatever the default backend is (the TPU under the
-    driver; interpret-mode CPU coverage lives in tests/)."""
+    """On-chip Pallas-kernel checks across the production
+    block/length/dtype grid (VERDICT r1 next-step #4): the regression
+    guard the round-1 flash-attention causal-skip bug showed is needed.
+
+    KERNELS run compiled on the TPU; ORACLES run jitted on the LOCAL CPU
+    backend. On the tunneled backend every eager oracle op costs ~100 ms
+    of dispatch latency and every jitted oracle a remote compile — the
+    r4 trial measured the TPU-oracle form at 370-504 s, eating the whole
+    driver budget. The CPU oracle is also numerically STRONGER (exact
+    f32 multiplies vs the MXU's bf16-truncated f32); tolerances are
+    sized for bf16-grade differences, orders of magnitude below the
+    block-skip/mask bug class this guards against."""
     import numpy as np
 
     from evo_tpu.layers.attention import sdpa_causal
@@ -408,6 +415,14 @@ def kernel_verify() -> dict:
     from evo_tpu.ops.pallas_attention import flash_attention_causal
     from evo_tpu.ops.pallas_fir import fir_gate_pallas, fir_gate_supported
     from evo_tpu.ops.pallas_rmsnorm import rmsnorm_pallas
+
+    cpu = jax.devices('cpu')[0]
+    tpu_dev = jax.devices()[0]
+
+    def dev(*xs):
+        """Commit oracle-side (CPU) arrays to the TPU for a kernel call."""
+        out = tuple(jax.device_put(x, tpu_dev) for x in xs)
+        return out if len(out) > 1 else out[0]
 
     checks = []
     t_last = [time.perf_counter()]
@@ -425,167 +440,195 @@ def kernel_verify() -> dict:
                        't_s': round(now - t_last[0], 1)})
         t_last[0] = now
 
-    key = jax.random.PRNGKey(0)
-    # flash attention: production blocks (512, 1024), the block_q > block_k
-    # shape class that carried the round-1 bug, non-block-multiple lengths,
-    # both dtypes
-    H, Dh = 4, 128
-    for L, bq, bk in [(2048, 512, 1024), (8192, 512, 1024),
-                      (2048, 2048, 512), (1000, 512, 1024),
-                      (2048, 256, 256)]:
-        # f32 tolerance is bf16-grade on purpose: TPU MXU matmuls truncate
-        # f32 inputs to bf16 multiplies (DEFAULT precision) in both the
-        # kernel and the oracle, and they round differently (~1e-2). The
-        # bug class this guards against (block skips, mask errors) shows
-        # up orders of magnitude above this.
-        for dt, tol in [(jnp.bfloat16, 3e-2), (jnp.float32, 3e-2)]:
-            ks = jax.random.split(jax.random.fold_in(key, L + bq), 3)
-            q = jax.random.normal(ks[0], (1, L, H, Dh), jnp.float32)
-            k = jax.random.normal(ks[1], (1, L, H, Dh), jnp.float32)
-            v = jax.random.normal(ks[2], (1, L, H, Dh), jnp.float32)
-            q, k, v = (x.astype(dt) for x in (q, k, v))
-            got = jax.jit(functools.partial(
-                flash_attention_causal, block_q=bq, block_k=bk))(q, k, v)
-            want = sdpa_causal(q, k, v)
-            record(f'flash_attn L={L} blocks=({bq},{bk}) {dt.__name__}',
-                   got, want, tol)
-    # segment-vs-buffer flash (resumed prefill / 131k path): traced
-    # offset, unaligned offsets, garbage buffer tail behind the mask
-    from evo_tpu.ops.pallas_attention import flash_attention_buffer
-    for Lq, T, off in [(2048, 8192, 4096), (512, 8192, 7003),
-                       (2048, 8192, 0)]:
-        ks = jax.random.split(jax.random.fold_in(key, T + off), 3)
-        q = jax.random.normal(ks[0], (1, Lq, H, Dh), jnp.bfloat16)
-        kb = jax.random.normal(ks[1], (1, T, H, Dh), jnp.bfloat16)
-        vb = jax.random.normal(ks[2], (1, T, H, Dh), jnp.bfloat16)
-        got = jax.jit(flash_attention_buffer)(q, kb, vb, jnp.int32(off))
-        s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
-                       kb.astype(jnp.float32)) / (Dh ** 0.5)
-        mask = (jnp.arange(T)[None, :] <= off + jnp.arange(Lq)[:, None])
-        s = jnp.where(mask[None, None], s, -jnp.inf)
-        want = jnp.einsum('bhlt,bthd->blhd', jax.nn.softmax(s, axis=-1),
-                          vb.astype(jnp.float32))
-        record(f'flash_buffer Lq={Lq} T={T} off={off}', got, want, 3e-2)
-    # int8-KV buffer kernel (kv_quant mode): oracle is the dense softmax
-    # over the DEQUANTIZED buffers — isolates kernel plumbing from the
-    # int8 rounding that is the mode's own (tested-elsewhere) numerics
-    from evo_tpu.layers.attention import kv_quantize
-    for Lq, T, off in [(1024, 8192, 4096), (512, 8192, 7003)]:
-        ks = jax.random.split(jax.random.fold_in(key, 7 * T + off), 3)
-        q = jax.random.normal(ks[0], (1, Lq, H, Dh), jnp.bfloat16)
-        kb = jax.random.normal(ks[1], (1, T, H, Dh), jnp.bfloat16)
-        vb = jax.random.normal(ks[2], (1, T, H, Dh), jnp.bfloat16)
-        kq, kss = kv_quantize(kb)
-        vq, vss = kv_quantize(vb)
-        got = jax.jit(flash_attention_buffer)(
-            q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
-            jnp.int32(off), jnp.swapaxes(kss, 1, 2),
-            jnp.swapaxes(vss, 1, 2))
-        kd = kq.astype(jnp.float32) * kss[..., None]
-        vd = vq.astype(jnp.float32) * vss[..., None]
-        s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
-                       kd) / (Dh ** 0.5)
-        mask = (jnp.arange(T)[None, :] <= off + jnp.arange(Lq)[:, None])
-        s = jnp.where(mask[None, None], s, -jnp.inf)
-        want = jnp.einsum('bhlt,bthd->blhd', jax.nn.softmax(s, axis=-1),
-                          vd)
-        record(f'flash_buffer_q8 Lq={Lq} T={T} off={off}', got, want,
-               3e-2)
-    # fused FIR+gate: production shape class (3 streams, 4096 channels)
-    for C, L, dt, tol in [(4096, 8192, jnp.bfloat16, 3e-2),
-                          (512, 1024, jnp.float32, 2e-3)]:
-        ks = jax.random.split(jax.random.fold_in(key, C), 3)
-        z = jax.random.normal(ks[0], (1, 3, C, L), jnp.float32).astype(dt)
-        w = (jax.random.normal(ks[1], (3, C, 3), jnp.float32) / 2).astype(dt)
-        b = (jax.random.normal(ks[2], (3, C), jnp.float32) / 8).astype(dt)
-        if not fir_gate_supported(z.shape, z.dtype):
-            checks.append({'name': f'fir_gate C={C}', 'err': -1.0,
-                           'ok': False})
-            continue
-        x2, u = jax.jit(fir_gate_pallas)(z, w, b)
-        z_ref, _ = fftconv.fir_causal_conv(z, w, b, None)
-        record(f'fir_gate x2 C={C} L={L} {dt.__name__}', x2, z_ref[:, 0],
-               tol)
-        record(f'fir_gate u C={C} L={L} {dt.__name__}', u,
-               z_ref[:, 1] * z_ref[:, 2], tol)
-    # fused Hyena mixer core (FIR + gates + Toeplitz conv + modal carry):
-    # production shape (4096 channels, multi-tile L, chunk 64) plus a
-    # float32 segment-continuation case
-    from evo_tpu.ops.pallas_hyena import (hyena_mixer_pallas,
-                                          hyena_mixer_supported)
+    # oracles (and input generation) on the LOCAL CPU backend;
+    # restored in finally so a failed check cannot leak a CPU
+    # default device into the rest of the bench
+    jax.config.update('jax_default_device', cpu)
+    try:
+        key = jax.random.PRNGKey(0)
+        # flash attention: production blocks (512, 1024), the block_q > block_k
+        # shape class that carried the round-1 bug, non-block-multiple lengths,
+        # both dtypes
+        H, Dh = 4, 128
+        for L, bq, bk in [(2048, 512, 1024), (8192, 512, 1024),
+                          (2048, 2048, 512), (1000, 512, 1024),
+                          (2048, 256, 256)]:
+            # f32 tolerance is bf16-grade on purpose: TPU MXU matmuls truncate
+            # f32 inputs to bf16 multiplies (DEFAULT precision) in both the
+            # kernel and the oracle, and they round differently (~1e-2). The
+            # bug class this guards against (block skips, mask errors) shows
+            # up orders of magnitude above this.
+            for dt, tol in [(jnp.bfloat16, 3e-2), (jnp.float32, 3e-2)]:
+                ks = jax.random.split(jax.random.fold_in(key, L + bq), 3)
+                q = jax.random.normal(ks[0], (1, L, H, Dh), jnp.float32)
+                k = jax.random.normal(ks[1], (1, L, H, Dh), jnp.float32)
+                v = jax.random.normal(ks[2], (1, L, H, Dh), jnp.float32)
+                q, k, v = (x.astype(dt) for x in (q, k, v))
+                got = jax.jit(functools.partial(
+                    flash_attention_causal, block_q=bq, block_k=bk))(
+                    *dev(q, k, v))
+                # oracles are jitted throughout: eager dispatch through the
+                # tunneled backend costs ~100 ms/op, which made the verify
+                # section take minutes (dominating the r4 driver budget)
+                want = jax.jit(sdpa_causal)(q, k, v)
+                record(f'flash_attn L={L} blocks=({bq},{bk}) {dt.__name__}',
+                       got, want, tol)
+        # segment-vs-buffer flash (resumed prefill / 131k path): traced
+        # offset, unaligned offsets, garbage buffer tail behind the mask
+        from evo_tpu.ops.pallas_attention import flash_attention_buffer
+        for Lq, T, off in [(2048, 8192, 4096), (512, 8192, 7003),
+                           (2048, 8192, 0)]:
+            ks = jax.random.split(jax.random.fold_in(key, T + off), 3)
+            q = jax.random.normal(ks[0], (1, Lq, H, Dh), jnp.bfloat16)
+            kb = jax.random.normal(ks[1], (1, T, H, Dh), jnp.bfloat16)
+            vb = jax.random.normal(ks[2], (1, T, H, Dh), jnp.bfloat16)
+            got = jax.jit(flash_attention_buffer)(*dev(q, kb, vb),
+                                                  dev(jnp.int32(off)))
 
-    def _mixer_oracle(z, fw, fb, poles, residues, d_skip, chunk, st=None):
-        zp, fir_state = fftconv.fir_causal_conv(z, fw, fb,
-                                                st[0] if st else None)
-        x2, x1, v = zp[:, 0], zp[:, 1], zp[:, 2]
-        y, iir = fftconv.conv_matmul_chunked(
-            x1 * v, poles, residues, chunk,
-            state=st[1] if st else None, d_skip=d_skip)
-        return x2 * y.astype(z.dtype), iir, fir_state
+            @jax.jit
+            def _buffer_oracle(q, kb, vb):
+                s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
+                               kb.astype(jnp.float32)) / (Dh ** 0.5)
+                mask = (jnp.arange(T)[None, :]
+                        <= off + jnp.arange(Lq)[:, None])
+                s = jnp.where(mask[None, None], s, -jnp.inf)
+                return jnp.einsum('bhlt,bthd->blhd',
+                                  jax.nn.softmax(s, axis=-1),
+                                  vb.astype(jnp.float32))
 
-    for C, L, chunk, dt, tol in [(4096, 8192, 64, jnp.bfloat16, 3e-2),
-                                 (512, 4096, 64, jnp.float32, 2e-3)]:
-        ks = jax.random.split(jax.random.fold_in(key, C + L), 5)
-        z = jax.random.normal(ks[0], (1, 3, C, L), jnp.float32).astype(dt)
-        fw = jax.random.normal(ks[1], (3, C, 3), jnp.float32) / 2
-        fb = jax.random.normal(ks[2], (3, C), jnp.float32) / 8
-        mag = jax.random.uniform(ks[3], (C, 8), minval=0.5, maxval=0.98)
-        ang = jax.random.uniform(ks[4], (C, 8), minval=-3.1, maxval=3.1)
-        poles = jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)], -1)
-        residues = (jax.random.normal(ks[3], (C, 8, 2)) * 0.3)
-        d_skip = jax.random.normal(ks[4], (C,))
-        if not hyena_mixer_supported(z.shape, chunk):
-            checks.append({'name': f'hyena_mixer C={C}', 'err': -1.0,
-                           'ok': False})
-            continue
-        got_y, got_iir, got_fir = jax.jit(functools.partial(
-            hyena_mixer_pallas, chunk=chunk))(z, fw, fb, poles, residues,
-                                              d_skip)
-        want_y, want_iir, want_fir = _mixer_oracle(z, fw, fb, poles,
-                                                   residues, d_skip, chunk)
-        record(f'hyena_mixer y C={C} L={L} {dt.__name__}', got_y, want_y,
-               tol)
-        record(f'hyena_mixer iir C={C} L={L} {dt.__name__}', got_iir,
-               want_iir, tol)
-        record(f'hyena_mixer fir C={C} L={L} {dt.__name__}', got_fir,
-               want_fir, 1e-6)
-        # segment continuation seeded with the first run's states
-        got2 = jax.jit(functools.partial(
-            hyena_mixer_pallas, chunk=chunk))(z, fw, fb, poles, residues,
-                                              d_skip,
-                                              state=(got_fir, got_iir))
-        want2 = _mixer_oracle(z, fw, fb, poles, residues, d_skip, chunk,
-                              st=(want_fir, want_iir))
-        record(f'hyena_mixer cont C={C} {dt.__name__}', got2[0], want2[0],
-               tol)
-    # packed-int4 weight matmul (serving memory-fit mode): both the
-    # VPU-unpack default and the MXU-unpack dots modes, decode shapes
-    from evo_tpu.ops.pallas_int4 import int4_matmul, pack_int4
-    for M, Kp, N in [(1, 4096, 12288), (8, 11008, 4096)]:
-        ks = jax.random.split(jax.random.fold_in(key, Kp + N), 3)
-        x4 = jax.random.normal(ks[0], (M, Kp), jnp.bfloat16)
-        qv = jax.random.randint(ks[1], (Kp, N), -8, 8, jnp.int8)
-        pk = pack_int4(qv)
-        sc = jax.random.uniform(ks[2], (Kp // 128, N), jnp.float32,
-                                minval=0.01, maxval=0.1)
-        wd = (qv.astype(jnp.float32).reshape(Kp // 128, 128, N)
-              * sc[:, None]).reshape(Kp, N)
-        want = (x4.astype(jnp.float32) @ wd)
-        for mode in ('unroll', 'dots', 'dots8'):
-            got = jax.jit(functools.partial(
-                int4_matmul, mode=mode))(x4, pk, sc)
-            # dots8 adds per-row int8 activation quantization (~0.4%)
-            record(f'int4_matmul {mode} M={M} K={Kp}', got, want,
-                   2e-2 if mode == 'dots8' else 5e-3)
-    # fused RMSNorm
-    for shape, dt, tol in [((2, 2048, 4096), jnp.bfloat16, 3e-2),
-                           ((1, 512, 512), jnp.float32, 2e-3)]:
-        x = jax.random.normal(jax.random.fold_in(key, shape[-1]),
-                              shape, jnp.float32).astype(dt)
-        w = jnp.ones((shape[-1],), dt)
-        record(f'rmsnorm {shape} {dt.__name__}',
-               jax.jit(rmsnorm_pallas)(x, w), rmsnorm(x, w), tol)
+            record(f'flash_buffer Lq={Lq} T={T} off={off}', got,
+                   _buffer_oracle(q, kb, vb), 3e-2)
+        # int8-KV buffer kernel (kv_quant mode): oracle is the dense softmax
+        # over the DEQUANTIZED buffers — isolates kernel plumbing from the
+        # int8 rounding that is the mode's own (tested-elsewhere) numerics
+        from evo_tpu.layers.attention import kv_quantize
+        for Lq, T, off in [(1024, 8192, 4096), (512, 8192, 7003)]:
+            ks = jax.random.split(jax.random.fold_in(key, 7 * T + off), 3)
+            q = jax.random.normal(ks[0], (1, Lq, H, Dh), jnp.bfloat16)
+            kb = jax.random.normal(ks[1], (1, T, H, Dh), jnp.bfloat16)
+            vb = jax.random.normal(ks[2], (1, T, H, Dh), jnp.bfloat16)
+            kq, kss = kv_quantize(kb)
+            vq, vss = kv_quantize(vb)
+            got = jax.jit(flash_attention_buffer)(
+                    *dev(q, jnp.swapaxes(kq, 1, 2), jnp.swapaxes(vq, 1, 2),
+                         jnp.int32(off), jnp.swapaxes(kss, 1, 2),
+                         jnp.swapaxes(vss, 1, 2)))
 
+            @jax.jit
+            def _q8_oracle(q, kq, kss, vq, vss):
+                kd = kq.astype(jnp.float32) * kss[..., None]
+                vd = vq.astype(jnp.float32) * vss[..., None]
+                s = jnp.einsum('blhd,bthd->bhlt', q.astype(jnp.float32),
+                               kd) / (Dh ** 0.5)
+                mask = (jnp.arange(T)[None, :]
+                        <= off + jnp.arange(Lq)[:, None])
+                s = jnp.where(mask[None, None], s, -jnp.inf)
+                return jnp.einsum('bhlt,bthd->blhd',
+                                  jax.nn.softmax(s, axis=-1), vd)
+
+            record(f'flash_buffer_q8 Lq={Lq} T={T} off={off}', got,
+                   _q8_oracle(q, kq, kss, vq, vss), 3e-2)
+        # fused FIR+gate: production shape class (3 streams, 4096 channels)
+        for C, L, dt, tol in [(4096, 8192, jnp.bfloat16, 3e-2),
+                              (512, 1024, jnp.float32, 2e-3)]:
+            ks = jax.random.split(jax.random.fold_in(key, C), 3)
+            z = jax.random.normal(ks[0], (1, 3, C, L), jnp.float32).astype(dt)
+            w = (jax.random.normal(ks[1], (3, C, 3), jnp.float32) / 2).astype(dt)
+            b = (jax.random.normal(ks[2], (3, C), jnp.float32) / 8).astype(dt)
+            if not fir_gate_supported(z.shape, z.dtype):
+                checks.append({'name': f'fir_gate C={C}', 'err': -1.0,
+                               'ok': False})
+                continue
+            x2, u = jax.jit(fir_gate_pallas)(*dev(z, w, b))
+            z_ref, _ = jax.jit(lambda z, w, b: fftconv.fir_causal_conv(
+                z, w, b, None))(z, w, b)
+            record(f'fir_gate x2 C={C} L={L} {dt.__name__}', x2, z_ref[:, 0],
+                   tol)
+            record(f'fir_gate u C={C} L={L} {dt.__name__}', u,
+                   z_ref[:, 1] * z_ref[:, 2], tol)
+        # fused Hyena mixer core (FIR + gates + Toeplitz conv + modal carry):
+        # production shape (4096 channels, multi-tile L, chunk 64) plus a
+        # float32 segment-continuation case
+        from evo_tpu.ops.pallas_hyena import (hyena_mixer_pallas,
+                                              hyena_mixer_supported)
+
+        @functools.partial(jax.jit, static_argnums=(6,))
+        def _mixer_oracle(z, fw, fb, poles, residues, d_skip, chunk, st=None):
+            zp, fir_state = fftconv.fir_causal_conv(z, fw, fb,
+                                                    st[0] if st is not None
+                                                    else None)
+            x2, x1, v = zp[:, 0], zp[:, 1], zp[:, 2]
+            y, iir = fftconv.conv_matmul_chunked(
+                x1 * v, poles, residues, chunk,
+                state=st[1] if st is not None else None, d_skip=d_skip)
+            return x2 * y.astype(z.dtype), iir, fir_state
+
+        for C, L, chunk, dt, tol in [(4096, 8192, 64, jnp.bfloat16, 3e-2),
+                                     (512, 4096, 64, jnp.float32, 1e-2)]:
+            ks = jax.random.split(jax.random.fold_in(key, C + L), 5)
+            z = jax.random.normal(ks[0], (1, 3, C, L), jnp.float32).astype(dt)
+            fw = jax.random.normal(ks[1], (3, C, 3), jnp.float32) / 2
+            fb = jax.random.normal(ks[2], (3, C), jnp.float32) / 8
+            mag = jax.random.uniform(ks[3], (C, 8), minval=0.5, maxval=0.98)
+            ang = jax.random.uniform(ks[4], (C, 8), minval=-3.1, maxval=3.1)
+            poles = jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)], -1)
+            residues = (jax.random.normal(ks[3], (C, 8, 2)) * 0.3)
+            d_skip = jax.random.normal(ks[4], (C,))
+            if not hyena_mixer_supported(z.shape, chunk):
+                checks.append({'name': f'hyena_mixer C={C}', 'err': -1.0,
+                               'ok': False})
+                continue
+            got_y, got_iir, got_fir = jax.jit(functools.partial(
+                    hyena_mixer_pallas, chunk=chunk))(
+                    *dev(z, fw, fb, poles, residues, d_skip))
+            want_y, want_iir, want_fir = _mixer_oracle(z, fw, fb, poles,
+                                                       residues, d_skip, chunk)
+            record(f'hyena_mixer y C={C} L={L} {dt.__name__}', got_y, want_y,
+                   tol)
+            record(f'hyena_mixer iir C={C} L={L} {dt.__name__}', got_iir,
+                   want_iir, tol)
+            record(f'hyena_mixer fir C={C} L={L} {dt.__name__}', got_fir,
+                   want_fir, 1e-6)
+            # segment continuation seeded with the first run's states
+            got2 = jax.jit(functools.partial(
+                    hyena_mixer_pallas, chunk=chunk))(
+                    *dev(z, fw, fb, poles, residues, d_skip),
+                    state=(got_fir, got_iir))
+            want2 = _mixer_oracle(z, fw, fb, poles, residues, d_skip, chunk,
+                                  st=(want_fir, want_iir))
+            record(f'hyena_mixer cont C={C} {dt.__name__}', got2[0], want2[0],
+                   tol)
+        # packed-int4 weight matmul (serving memory-fit mode): both the
+        # VPU-unpack default and the MXU-unpack dots modes, decode shapes
+        from evo_tpu.ops.pallas_int4 import int4_matmul, pack_int4
+        for M, Kp, N in [(1, 4096, 12288), (8, 11008, 4096)]:
+            ks = jax.random.split(jax.random.fold_in(key, Kp + N), 3)
+            x4 = jax.random.normal(ks[0], (M, Kp), jnp.bfloat16)
+            qv = jax.random.randint(ks[1], (Kp, N), -8, 8, jnp.int8)
+            pk = pack_int4(qv)
+            sc = jax.random.uniform(ks[2], (Kp // 128, N), jnp.float32,
+                                    minval=0.01, maxval=0.1)
+            want = jax.jit(lambda x4, qv, sc: x4.astype(jnp.float32) @ (
+                qv.astype(jnp.float32).reshape(Kp // 128, 128, N)
+                * sc[:, None]).reshape(Kp, N))(x4, qv, sc)
+            for mode in ('unroll', 'dots', 'dots8'):
+                got = jax.jit(functools.partial(
+                        int4_matmul, mode=mode))(*dev(x4, pk, sc))
+                # dots8 adds per-row int8 activation quantization (~0.4%)
+                record(f'int4_matmul {mode} M={M} K={Kp}', got, want,
+                       2e-2 if mode == 'dots8' else 1e-2)
+        # fused RMSNorm
+        for shape, dt, tol in [((2, 2048, 4096), jnp.bfloat16, 3e-2),
+                               ((1, 512, 512), jnp.float32, 2e-3)]:
+            x = jax.random.normal(jax.random.fold_in(key, shape[-1]),
+                                  shape, jnp.float32).astype(dt)
+            w = jnp.ones((shape[-1],), dt)
+            record(f'rmsnorm {shape} {dt.__name__}',
+                       jax.jit(rmsnorm_pallas)(*dev(x, w)),
+                       jax.jit(rmsnorm)(x, w), tol)
+
+    finally:
+        jax.config.update('jax_default_device', None)
     n_fail = sum(1 for c in checks if not c['ok'])
     return {
         'status': 'pass' if n_fail == 0 else

@@ -107,6 +107,29 @@ def _pop(sd: Dict[str, np.ndarray], key: str,
 # ONE regex so the converter and validator can never disagree
 _BUFFER_RE = re.compile(r'rotary_emb\.inv_freq$|\.t$|filter\.h$')
 
+# Layout assumptions that could NOT be pinned to engine source: the
+# stripedhyena==0.2.2 sdist is not retrievable in this environment (no
+# network) and /root/reference vendors no engine code, so these three
+# orderings are RECONSTRUCTED from the package's public docs/configs and
+# from internal consistency (the inverse converter round-trips, the shape
+# validator passes on synthetic snapshots). They are exactly the places a
+# real-checkpoint parity run (scripts/verify_parity.py, BASELINE configs
+# #2-#4) would catch an error, and they are surfaced in every validation
+# report so nobody mistakes schema-shape agreement for layout proof.
+RECONSTRUCTED_LAYOUTS = {
+    'hyena_stream_order':
+        "projections.weight rows split as x2|x1|v ([0:D | D:2D | 2D:3D]); "
+        "a permutation of the three streams would pass every shape check "
+        "and fail numerics (gate/filter roles swap)",
+    'qkv_interleave':
+        "Wqkv.weight (3D, D) reshaped as (D, 3, H, Dh) after transpose — "
+        "q/k/v blocks assumed CONTIGUOUS in the output dim with heads "
+        "minor (flash_attn MHA convention), not head-interleaved",
+    'poles_layout':
+        "filter.poles/residues (D, S, 1, 2): trailing dim assumed "
+        "(real, imag) pairs; the broadcast axis squeezed at conversion",
+}
+
 
 def convert_state_dict(sd: Dict[str, np.ndarray],
                        cfg: ModelConfig) -> Dict[str, Any]:
@@ -444,6 +467,7 @@ def validate_state_dict(sd: Dict[str, np.ndarray],
         'n_tensors': len(sd), 'n_expected': len(spec),
         'missing': missing, 'unexpected': unexpected,
         'shape_mismatch': mismatched, 'ignored_buffers': buffers,
+        'reconstructed_layouts': dict(RECONSTRUCTED_LAYOUTS),
     }
 
 
@@ -460,6 +484,15 @@ def format_validation_report(report: Dict[str, Any]) -> str:
     if report['ignored_buffers']:
         lines.append(f"  ignored {len(report['ignored_buffers'])} "
                      f"non-parameter buffers")
+    rec = report.get('reconstructed_layouts', {})
+    if rec:
+        lines.append(
+            f'  NOTE: {len(rec)} layout assumptions are RECONSTRUCTED '
+            '(no engine source available to cite) and are NOT proven by '
+            'this shape check — run the numerical parity harness '
+            '(verify_parity.py --reference-outputs) on a real snapshot:')
+        for name, what in rec.items():
+            lines.append(f'    reconstructed: {name} — {what}')
     return '\n'.join(lines)
 
 

@@ -107,7 +107,10 @@ def sdpa_causal(q, k, v, *, use_pallas: bool = False, mesh=None):
 # H=32 the dense f32 scores are 0.5 GB at L=2048 but 8.6 GB at L=8192)
 _DENSE_ATTN_MAX = 2048
 _KVQ_FALLBACK_WARNED: list = []
-_NEG = jnp.float32(-1e30)
+# python float, NOT jnp.float32(...): a module-level jnp constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize ordering for every CLI entry point
+_NEG = -1e30
 
 
 def chunked_sdpa_causal(q, k, v, *, block: int = 512):

@@ -172,7 +172,28 @@ def main():
                     help='harness self-test with random weights')
     ap.add_argument('--write-reference-script', default=None, metavar='PATH',
                     help='write the reference-side golden emitter and exit')
+    ap.add_argument('--manifest', action='store_true',
+                    help='print the expected tensor-shape manifest for all '
+                         'five registry checkpoints (no snapshot needed) '
+                         'and the RECONSTRUCTED-layout caveats, then exit')
     args = ap.parse_args()
+
+    if args.manifest:
+        from evo_tpu import checkpoint as ckpt
+        from evo_tpu.models import MODEL_NAMES, config_for_model
+        for name in MODEL_NAMES:
+            cfg = config_for_model(name)
+            spec = ckpt.expected_state_dict_spec(cfg)
+            n_params = sum(int(np.prod(s)) for s in spec.values())
+            print(f'{name}: {len(spec)} tensors, {n_params:,} params')
+            for k in sorted(spec):
+                print(f'  {k}  {tuple(spec[k])}')
+        print()
+        print('layout assumptions NOT provable by shape alone '
+              '(checkpoint.RECONSTRUCTED_LAYOUTS):')
+        for k, v in ckpt.RECONSTRUCTED_LAYOUTS.items():
+            print(f'  {k}: {v}')
+        return 0
 
     if args.write_reference_script:
         with open(args.write_reference_script, 'w') as f:

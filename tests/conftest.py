@@ -20,13 +20,14 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
 jax.config.update('jax_enable_x64', False)
 
-# Persistent compilation cache: the suite's cost is dominated by hundreds of
-# tiny XLA compiles (eager-op dispatch in loops + per-shape jits); caching
-# them makes re-runs ~10x faster. The dir is keyed by the host CPU's feature
-# flags: XLA:CPU AOT artifacts bake in the compile machine's ISA features
-# but the cache key does NOT include them, so artifacts written on one
-# machine SIGSEGV/SIGILL when loaded on a host missing a feature (observed
-# across build machines: "+prefer-no-gather is not supported on the host").
+# Persistent compilation cache: OPT-IN via EVO_TPU_TEST_COMPILE_CACHE=1.
+# It makes warm re-runs much faster, but XLA:CPU AOT (de)serialization has
+# segfaulted twice in CI-style runs — once loading an artifact produced by
+# a sibling machine whose cpuinfo flags matched but whose detected CPU
+# model tuned different LLVM features (+prefer-no-gather), and once inside
+# `put_executable_and_time` while WRITING an artifact ~90% through a cold
+# run. A cold single-process run gains nothing from the disk cache anyway
+# (the in-memory jit cache already dedups), so the default is off.
 import hashlib  # noqa: E402
 
 
@@ -58,11 +59,13 @@ def _cpu_signature() -> str:
     return hashlib.sha256('|'.join(parts).encode()).hexdigest()[:12]
 
 
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.expanduser(
-                      f'~/.cache/evo_tpu_jax_test_cache_{_cpu_signature()}'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+if os.environ.get('EVO_TPU_TEST_COMPILE_CACHE') == '1':
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser(
+                          f'~/.cache/evo_tpu_jax_test_cache_'
+                          f'{_cpu_signature()}'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 
 assert jax.default_backend() == 'cpu'
 assert jax.device_count() == 8, jax.devices()
