@@ -84,6 +84,7 @@ def test_iter_batches_shapes_and_epochs(corpus):
         assert ids.dtype == np.int32 and mask.dtype == np.float32
 
 
+@pytest.mark.full
 def test_finetune_cli_end_to_end(corpus, tmp_path):
     """Tiny fine-tune run through the real CLI: loss decreases, both
     artifacts exist, and the serving checkpoint loads back into Evo."""

@@ -76,10 +76,22 @@ def test_sharded_prefill_decode(setup):
 
 
 def test_dryrun_multichip():
+    """Core dryrun: sharded train/prefill/decode + cp paths on the
+    8-device virtual mesh. The five full-schema 7B GSPMD compiles are the
+    `full` tier below (they dominated the suite's wall time and the
+    driver's own dryrun_multichip run covers them every round)."""
     import sys
     sys.path.insert(0, '/root/repo')
     import __graft_entry__
-    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__.dryrun_multichip(8, full_schema=False)
+
+
+@pytest.mark.full
+def test_dryrun_multichip_full_schema_compiles():
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__
+    __graft_entry__._dryrun_full_schema_compile(8)
 
 
 def test_entry_compiles():
