@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from evo_tpu import checkpoint, model as model_lib
 from evo_tpu.config import tiny_config
 

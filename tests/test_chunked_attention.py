@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 import evo_tpu.layers.attention as attn
 from evo_tpu.layers.attention import chunked_sdpa_causal, sdpa_causal
 

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from evo_tpu.ops import fftconv
 
 

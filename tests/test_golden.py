@@ -15,6 +15,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from evo_tpu import model as model_lib
 from evo_tpu.config import tiny_config
 from evo_tpu.io.fasta import read_fasta

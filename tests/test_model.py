@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from evo_tpu import model as model_lib
 from evo_tpu.config import tiny_config
 

@@ -1,6 +1,9 @@
 import numpy as np
+import pytest
 
 from evo_tpu.tokenizer import CharLevelTokenizer
+
+pytestmark = pytest.mark.smoke
 
 
 def test_tokenize_is_utf8_bytes():
