@@ -341,7 +341,7 @@ def bench_speculative(cfg, num_tokens: int = 256, gamma: int = 8,
     return n / min(times), stats
 
 
-def bench_spec_lora(cfg, steps: int = 300, rank: int = 32, lr: float = 1e-3,
+def bench_spec_lora(cfg, steps: int = 100, rank: int = 32, lr: float = 1e-3,
                     seq_len: int = 1024, num_tokens: int = 256,
                     gamma: int = 8):
     """Speculative decoding in its intended regime (VERDICT r3 #4): the
@@ -390,17 +390,20 @@ def bench_spec_lora(cfg, steps: int = 300, rank: int = 32, lr: float = 1e-3,
         w = jnp.asarray(ids_g[None, s:s + seq_len + 1])
         state, loss = step(state, params, w[:, :-1], w[:, 1:])
         # host readback EVERY step: the scalar round trip (~30 ms) is
-        # noise next to the ~6.5 s train step, and it bounds the
-        # tunneled client's dispatch queue at depth 1 — a fully async
-        # 400-step loop grew the host process to 130 GB RSS and was
-        # OOM-killed, and the every-25-step variant STILL died the same
-        # way around step 280 (both observed 2026-08-20)
+        # noise next to the ~6.5 s train step. NOTE the axon tunnel
+        # client leaks host memory per *executed step* regardless of
+        # readback cadence (measured 2026-08-20: ~33 GB at step 50,
+        # 72 GB at 150, 115 GB at 200 — same trajectory async, every-25,
+        # and every-step), so the step count is the only effective
+        # memory lever; 100 steps is past the loss plateau (~step 50)
+        # and leaves >60 GB of host headroom for the decode phases
         loss = float(loss)
         if i % 25 == 0 or i == steps - 1:
             print(f'  [spec_lora] step {i} loss {loss:.4f} '
                   f'({time.perf_counter() - t_train:.0f}s)',
                   file=sys.stderr, flush=True)
-    merged = merge_lora(params, state.lora, alpha=16.0)
+    # donate: base + merged 7B trees cannot coexist on 16 GB
+    merged = merge_lora(params, state.lora, alpha=16.0, donate=True)
     del params, state
     model = EvoModel(cfg, merged)
 

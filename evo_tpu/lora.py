@@ -157,19 +157,26 @@ def attach_lora(params: Any, lora: Any, alpha: float = 16.0) -> Any:
     return out
 
 
-def merge_lora(params: Any, lora: Any, alpha: float = 16.0) -> Any:
+def merge_lora(params: Any, lora: Any, alpha: float = 16.0,
+               donate: bool = False) -> Any:
     """Fold adapters into the base weights: W + alpha/r * A @ B.
 
     The product runs in fp32 and casts back to each weight's dtype, so
     the merged tree is a drop-in for every inference path (including
-    `quant.quantize_params` afterwards). Base tree is not mutated.
+    `quant.quantize_params` afterwards).
+
+    donate=False (default): base tree is not mutated. donate=True folds
+    leaf-at-a-time with buffer donation — each base weight's buffer is
+    reused for its merged output and the base array INVALIDATED, so base
+    and merged trees never coexist on the device. Required to merge a 7B
+    tree on a 16 GB chip: the non-donating merge peaks at two full
+    weight trees plus an fp32 temp and died RESOURCE_EXHAUSTED right
+    after on-chip LoRA training (observed 2026-08-20, bench spec_lora).
     """
     s = alpha / lora_rank(lora)
 
-    def fold_any(w, pr):
-        # unstacked: A (*in, r) x B (r, *out); stacked hyena runs carry a
-        # leading run axis on both factors -> contract per run via vmap
-        a, b = pr['a'], pr['b'] * s
+    def _fold(w, a, b):
+        b = b * s
         if b.ndim + a.ndim - 2 == w.ndim:          # unstacked
             delta = jnp.tensordot(a, b, axes=[[-1], [0]])
         else:                                       # stacked run
@@ -177,6 +184,15 @@ def merge_lora(params: Any, lora: Any, alpha: float = 16.0) -> Any:
                 lambda ai, bi: jnp.tensordot(ai, bi, axes=[[-1], [0]])
             )(a, b)
         return (w.astype(jnp.float32) + delta).astype(w.dtype)
+
+    # one jitted program per distinct leaf shape; output shape/dtype ==
+    # w's, so donation reuses the base buffer in place
+    fold_leaf = jax.jit(_fold, donate_argnums=(0,)) if donate else _fold
+
+    def fold_any(w, pr):
+        # unstacked: A (*in, r) x B (r, *out); stacked hyena runs carry a
+        # leading run axis on both factors -> contract per run via vmap
+        return fold_leaf(w, pr['a'], pr['b'])
 
     def fold_block(dst: Dict[str, Any], add: Dict[str, Any]):
         return {n: (fold_any(w, add[n]) if n in add else w)

@@ -136,3 +136,23 @@ def test_load_rejects_rank_mismatch(tmp_path):
                                   rank=8)
     with pytest.raises(ValueError, match='rank/targets mismatch'):
         lora_lib.load_lora(path, template)
+
+
+def test_merge_donate_matches_and_invalidates():
+    # donate=True must produce the same merged tree while invalidating
+    # the base buffers (the 16 GB-chip merge path, bench spec_lora)
+    cfg, params, lora = _setup()
+    lora = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(11), x.shape,
+                                    x.dtype) * 0.05, lora)
+    ref = lora_lib.merge_lora(params, lora, 16.0)
+    merged = lora_lib.merge_lora(params, lora, 16.0, donate=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+    # at least the adapted leaves were donated away
+    import pytest
+    w1 = params['segments'][0]['stack']['mlp']['w1']
+    with pytest.raises(Exception):
+        np.asarray(w1)
