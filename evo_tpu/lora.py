@@ -274,6 +274,11 @@ def make_lora_train_step(cfg: ModelConfig,
     for long-sequence fine-tunes — the backward then recomputes each
     block instead of keeping 32 layers of activations live.
     """
+    # Pallas inference kernels (flash attention, fused rmsnorm) have no
+    # VJP; force the differentiable paths (same guard as
+    # training.make_train_step)
+    if cfg.use_pallas != 'never':
+        cfg = cfg.replace(use_pallas='never')
 
     def train_step(state: LoraTrainState, base_params: Any,
                    ids: jax.Array, loss_mask: jax.Array

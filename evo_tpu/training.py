@@ -115,6 +115,11 @@ def make_train_step(cfg: ModelConfig,
     configured param/compute dtypes (grads land fp32 w.r.t. the masters
     through the cast), and the update applies exactly in fp32.
     """
+    # the Pallas inference kernels (flash attention, fused rmsnorm) have
+    # no VJP by design; force the differentiable lax/jnp paths here so
+    # callers don't have to remember the use_pallas='never' override
+    if cfg.use_pallas != 'never':
+        cfg = cfg.replace(use_pallas='never')
     pd = jnp.dtype(cfg.param_dtype)
 
     def _down(path, p):
