@@ -37,13 +37,28 @@ import numpy as np
 
 
 class NGramIndex:
-    """Last-earlier-occurrence index of length-`n` grams over the emitted
-    stream; O(1) amortized update per token, O(1) proposal."""
+    """Longest-match last-occurrence index over the emitted stream.
 
-    def __init__(self, n: int = 3):
+    Proposals continue the latest earlier occurrence of the LONGEST
+    matching suffix, trying gram lengths n, n-1, ... n_min (n_min == n
+    recovers single-length behavior). Longest-match matters on a
+    4-letter alphabet: there are only 4^k distinct k-mers, so a trailing
+    3-mer recurs every ~32 nt of random DNA and the most recent match is
+    almost never the self-similar region the proposal should copy from —
+    measured 2026-08-20 on a LoRA-learned 512-nt tandem array: n=3
+    acceptance 0.04 (chance-level) with teacher-forced accuracy 0.995;
+    the n=12..4 longest-match index on the same weights accepts the
+    periodic continuation. O(n - n_min) amortized update per token,
+    O(n - n_min) proposal.
+    """
+
+    def __init__(self, n: int = 12, n_min: Optional[int] = None):
         self.n = n
+        self.n_min = n if n_min is None else n_min
+        assert 1 <= self.n_min <= self.n
         self.tokens: List[int] = []
-        self._index: Dict[Tuple[int, ...], int] = {}
+        self._index: Dict[int, Dict[Tuple[int, ...], int]] = {
+            k: {} for k in range(self.n_min, self.n + 1)}
         self._indexed_upto = 0      # grams ending strictly before this
 
     def extend(self, toks) -> None:
@@ -53,18 +68,21 @@ class NGramIndex:
         """Index every gram ending at position < len-1 (the trailing gram
         is the QUERY; indexing it would always match itself)."""
         end = len(self.tokens) - 1
-        for i in range(max(self._indexed_upto, self.n - 1), end):
-            gram = tuple(self.tokens[i - self.n + 1:i + 1])
-            self._index[gram] = i
+        toks = self.tokens
+        for k, idx in self._index.items():
+            for i in range(max(self._indexed_upto, k - 1), end):
+                idx[tuple(toks[i - k + 1:i + 1])] = i
         self._indexed_upto = max(self._indexed_upto, end)
 
     def propose(self, gamma: int) -> np.ndarray:
         """gamma proposed continuations of the current stream."""
         toks = self.tokens
-        if len(toks) >= self.n:
+        if len(toks) >= self.n_min:
             self._catch_up()
-            j = self._index.get(tuple(toks[-self.n:]))
-            if j is not None:
+            for k in range(min(self.n, len(toks)), self.n_min - 1, -1):
+                j = self._index[k].get(tuple(toks[-k:]))
+                if j is None:
+                    continue
                 cont = toks[j + 1:j + 1 + gamma]
                 if len(cont) < gamma:      # near the end: cycle the match
                     cont = (cont + toks[j + 1:])[:gamma]
@@ -142,7 +160,8 @@ def generate_speculative(
     input_ids=None,
     num_tokens: int = 100,
     gamma: int = 8,
-    ngram: int = 3,
+    ngram: int = 12,
+    ngram_min: int = 4,
     max_len: Optional[int] = None,
     temperature: float = 0.0,
     top_k: int = 0,
@@ -179,7 +198,7 @@ def generate_speculative(
     T = max_len or (P + num_tokens + gamma + 2)
 
     stats = SpecStats()
-    spec = NGramIndex(ngram)
+    spec = NGramIndex(ngram, n_min=min(ngram, ngram_min))
     spec.extend(ids[0])
     greedy_mode = temperature <= 0.0
     rng = np.random.default_rng(seed)

@@ -39,6 +39,24 @@ def test_ngram_index_proposes_continuation_of_earlier_match():
     np.testing.assert_array_equal(idx2.propose(2), [3, 3])
 
 
+def test_ngram_longest_match_beats_short_collisions():
+    # 4-letter-alphabet regression (BASELINE.md 2026-08-20): on a tandem
+    # repeat of a long unit, short grams collide WITHIN the unit and a
+    # short-only index copies from the wrong local match; the
+    # longest-match index must recover the true periodic continuation.
+    rng = np.random.default_rng(7)
+    unit = rng.integers(0, 4, 512).tolist()       # DNA-sized alphabet
+    stream = unit * 2 + unit[:31]                 # mid-unit query point
+    idx = NGramIndex(n=12, n_min=4)
+    idx.extend(stream)
+    np.testing.assert_array_equal(idx.propose(8), unit[31:39])
+    # single short-n behavior preserved (n_min defaults to n): the most
+    # recent 3-mer match inside the unit generally is NOT one period back
+    idx3 = NGramIndex(n=3)
+    idx3.extend(stream)
+    assert idx3.n_min == idx3.n == 3
+
+
 @pytest.mark.parametrize('gamma,ngram', [(1, 2), (4, 3), (8, 3)])
 def test_speculative_matches_greedy_repetitive_prompt(setup, gamma, ngram):
     model, tok = setup
