@@ -1395,8 +1395,8 @@ def main():
             print(json.dumps({
                 'metric': f'speculative_decode_lora_finetuned_{name}',
                 'value': round(tps, 2),
-                'unit': 'tokens/s (B=1 greedy, genome wrap-around, '
-                        'LoRA-finetuned on PhiX174)',
+                'unit': 'tokens/s (B=1 greedy, tandem-repeat array, '
+                        'LoRA-finetuned on a PhiX174 512-nt unit)',
                 # vs the plain fused decode measured on the SAME merged
                 # weights in this run: the speedup speculation buys
                 'vs_baseline': round(tps / max(plain_tps, 1e-9), 4),
