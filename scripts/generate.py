@@ -53,6 +53,10 @@ def main():
                         help='prefill long prompts in chunks of this many '
                              'tokens through the resumable cache (bounded '
                              'activation memory for 131k-class prompts)')
+    parser.add_argument('--ngram', type=int, default=12,
+                        help='speculative drafter: longest gram length '
+                             'tried (longest-match down to 4; DNA needs '
+                             'long grams — only 4^k distinct k-mers)')
     parser.add_argument('--speculative', type=int, default=0, metavar='G',
                         help='n-gram speculative decoding with G proposed '
                              'tokens per verify pass '
@@ -104,6 +108,7 @@ def main():
             toks, logps, stats = generate_speculative(
                 evo.model, evo.tokenizer, prompt=args.prompt,
                 num_tokens=args.n_tokens, gamma=args.speculative,
+                ngram=args.ngram,
                 temperature=args.temperature, top_k=args.top_k,
                 top_p=args.top_p, seed=args.seed + i)
             seqs.append(evo.tokenizer.detokenize(toks.tolist()))
