@@ -396,7 +396,7 @@ def bench_spec_lora(cfg, steps: int = 100, rank: int = 32, lr: float = 1e-3,
     lora = init_lora(jax.random.PRNGKey(1), params, cfg, rank=rank)
     opt = optax.adam(lr)
     state = init_lora_train_state(lora, opt)
-    step = make_lora_train_step(cfg_train, opt, alpha=16.0)
+    step = jax.jit(make_lora_train_step(cfg_train, opt, alpha=16.0))
     rng = np.random.default_rng(0)
     t_train = time.perf_counter()
     for i in range(steps):
@@ -404,8 +404,11 @@ def bench_spec_lora(cfg, steps: int = 100, rank: int = 32, lr: float = 1e-3,
         # same tandem array, so the adapter learns the periodic
         # continuation at EVERY rotary position it will decode at
         s = int(rng.integers(0, unit_len))
-        w = jnp.asarray(ids_g[None, s:s + seq_len + 1])
-        state, loss = step(state, params, w[:, :-1], w[:, 1:])
+        w = jnp.asarray(ids_g[None, s:s + seq_len])
+        # next_token_loss shifts internally: ids is BOTH input and
+        # target, loss_mask is a {0,1} gate (a previous revision passed
+        # the shifted ids as the mask — a token-VALUE-weighted NLL)
+        state, loss = step(state, params, w, jnp.ones_like(w, jnp.float32))
         # host readback EVERY step: the scalar round trip (~30 ms) is
         # noise next to the ~6.5 s train step. NOTE the axon tunnel
         # client leaks host memory per *executed step* regardless of
@@ -1261,15 +1264,35 @@ def main():
 
     # Persistent compile cache: the 29-layer program takes minutes to build
     # through the tunneled backend; cached re-runs skip straight to timing.
-    # TPU backend ONLY — an XLA:CPU AOT artifact written by a machine with
-    # different detected CPU features poisons the cache for every later
-    # host ("LLVM compilation error: Cannot allocate memory" / SIGILL on
-    # load; same failure class tests/conftest.py documents and keys its
-    # cache dir against, observed here 2026-08-20 on a stale
-    # /tmp/jaxcache-bench).
-    if jax.default_backend() == 'tpu':
-        jax.config.update('jax_compilation_cache_dir', '/tmp/jaxcache-bench')
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    # The dir is keyed by a HOST fingerprint (CPU model+flags+jax version,
+    # the tests/conftest.py recipe): XLA:CPU AOT artifacts are tuned to
+    # the *detected* CPU model, and loading a sibling machine's artifact
+    # SIGILLs / dies with "LLVM compilation error" (observed 2026-08-20 on
+    # a stale shared /tmp/jaxcache-bench). kernel_verify's jitted CPU
+    # oracles in preset `all` write CPU artifacts even on a TPU host, so
+    # gating by backend alone is not enough.
+    import hashlib
+
+    def _host_sig() -> str:
+        parts = []
+        try:
+            with open('/proc/cpuinfo') as f:
+                for ln in f:
+                    if ln.split(':')[0].strip() in (
+                            'model name', 'cpu family', 'model', 'stepping'):
+                        parts.append(ln.strip())
+                    if ln.startswith('flags'):
+                        parts.append(' '.join(sorted(ln.split()[2:])))
+                        break
+        except OSError:
+            pass
+        import jax.version
+        parts.append(jax.version.__version__)
+        return hashlib.sha256('|'.join(parts).encode()).hexdigest()[:12]
+
+    jax.config.update('jax_compilation_cache_dir',
+                      f'/tmp/jaxcache-bench-{_host_sig()}')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from evo_tpu.models import config_for_model
     from evo_tpu.config import tiny_config

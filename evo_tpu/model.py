@@ -332,7 +332,7 @@ def forward(params: Params, cfg: ModelConfig, ids: jax.Array,
             if cfg.remat:
                 body = jax.checkpoint(body)
             x, _ = jax.lax.scan(body, x, seg['stack'])
-    return residual_constraint(_unembed(params, cfg, x), mesh)
+    return residual_constraint(_unembed(params, cfg, x, mesh), mesh)
 
 
 def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
@@ -387,7 +387,7 @@ def prefill(params: Params, cfg: ModelConfig, ids: jax.Array,
                 return y, hst
             x, hst = jax.lax.scan(body, x, (seg['stack'], st))
             new_layers.append(hst)
-    logits = residual_constraint(_unembed(params, cfg, x), mesh)
+    logits = residual_constraint(_unembed(params, cfg, x, mesh), mesh)
     return logits, {'offset': offset + jnp.asarray(L, jnp.int32),
                     'layers': new_layers}
 
@@ -445,5 +445,5 @@ def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
                 new_states.append(hst)
             new_layers.append(jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *new_states))
-    logits = _unembed(params, cfg, x)[:, 0]
+    logits = _unembed(params, cfg, x, mesh)[:, 0]
     return logits, {'offset': offset + 1, 'layers': new_layers}

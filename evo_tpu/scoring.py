@@ -176,16 +176,19 @@ def score_stream(
 
 def _aligned_cache_len(L: int, align: int = 1024) -> int:
     """KV-buffer length for segmented prefill: L+1, rounded up to `align`
-    for long sequences so the Pallas buffer-flash kernel is eligible
-    (ops/pallas_attention.py:flash_buffer_supported; padded positions
-    are always causally masked). ~50 KB/position — negligible. Pass
-    align=4096 for `kv_quant: int8` caches: the int8 kernel wants
-    4096-long k-blocks (its per-grid-step cost is fixed-overhead-bound
-    at 1024 on the DMA-light decode workload)."""
+    for long sequences so the Pallas buffer-flash kernel gets its
+    preferred big k-blocks, and to 128 otherwise so the kernel is at
+    least ELIGIBLE (ops/pallas_attention.py:_buffer_block_k needs a
+    power-of-two block >= 128 dividing T; padded positions are always
+    causally masked). Short lengths used to stay at L+1, silently
+    dropping short `kv_quant: int8` runs onto the slower jnp fallback
+    the mha_step warning points at. ~50 KB/position — negligible here.
+    Pass align=4096 for int8 caches: that kernel's per-grid-step cost is
+    fixed-overhead-bound at 1024 on the DMA-light decode workload."""
     T = L + 1
     if L >= 4096:
-        T = -(-T // align) * align
-    return T
+        return -(-T // align) * align
+    return -(-T // 128) * 128
 
 
 def _cache_align(cfg) -> int:

@@ -329,9 +329,17 @@ class GenerationServer:
             # kernel eligibility needs a power-of-two block (>=128)
             # dividing T (ops/pallas_attention.py:_buffer_block_k); the
             # 4096 alignment additionally gets the big k-blocks the
-            # DMA-light decode grid wants at long context
-            align = 4096 if max_len >= 4096 else 128
-            cache_len = -(-max_len // align) * align
+            # DMA-light decode grid wants at long context — but only
+            # when the rounding is cheap: at high slot counts the cache
+            # is the HBM budget (~25 KB/pos/slot int8), and max_len=4097
+            # rounding to 8192 would burn ~9.8 GB at 96 slots for a few
+            # percent of kernel-grid overhead. >25% padding falls back
+            # to 128-alignment (eligible, smaller blocks).
+            big = -(-max_len // 4096) * 4096
+            if max_len >= 4096 and big <= max_len + max_len // 4:
+                cache_len = big
+            else:
+                cache_len = -(-max_len // 128) * 128
         self._cache_len = cache_len
         cache = model.initialize_inference_params(max_slots, cache_len)
         # scalar offset -> per-slot offset vector (decode_step broadcasts)

@@ -124,9 +124,19 @@ def test_resumed_prefill_buffer_path(setup):
     assert np.abs(got - want).max() / scale < 0.05
 
 
-def test_generator_resume_grows_quantized_cache(setup):
+def test_generator_resume_grows_quantized_cache(setup, monkeypatch):
     """Generator resume (`inference_params_dict=`) pads the int8 data AND
-    scale buffers (generation._grow_cache) and keeps decoding."""
+    scale buffers (generation._grow_cache) and keeps decoding.
+
+    The alignment is patched back to L+1 so a tiny resume budget forces
+    a real grow (production caches are 128-aligned for Pallas buffer
+    eligibility, which would absorb small resumes as padding) and the
+    one-shot/resumed horizons stay short enough for exact greedy
+    equality on random weights (long horizons flip argmax near-ties
+    between differently-shaped cache programs)."""
+    from evo_tpu import generation as gen_lib
+    monkeypatch.setattr(gen_lib, '_aligned_cache_len',
+                        lambda L, align=1024: L + 1)
     cfg, params = setup
     qcfg = cfg.replace(kv_quant='int8')
     model = EvoModel(qcfg, params)
@@ -186,10 +196,20 @@ def test_server_cache_kernel_aligned(setup):
     assert srv.max_len == 300                    # admission bound kept
     assert flash_buffer_supported(srv._cache_len)
     assert srv._cache_len == 384                 # short server: 128-align
+    # long server: 4096-align only when the padding is <= 25% (memory
+    # cliff guard — 5000 -> 8192 would be 64% padding, falls to 128)
     srv_long = GenerationServer(EvoModel(qcfg, params), max_slots=1,
                                 max_len=5000)
-    assert srv_long._cache_len == 8192           # long: 4096-align
-    k_buf = srv._cache['layers'][qcfg.attn_layer_idxs[0]]['k']
+    assert srv_long._cache_len == 5120
+    srv_big = GenerationServer(EvoModel(qcfg, params), max_slots=1,
+                               max_len=8000)
+    assert srv_big._cache_len == 8192            # 2.4% padding: worth it
+    # cache['layers'] is indexed by SEGMENT, not layer: find the segment
+    # holding the first attention layer (they coincide for tiny_config,
+    # which previously masked a wrong layer-index lookup here)
+    attn_seg = next(i for i, (kind, _) in enumerate(qcfg.layer_segments())
+                    if kind == 'attn')
+    k_buf = srv._cache['layers'][attn_seg]['k']
     assert k_buf.shape[2] == srv._cache_len      # head-major (B,H,T,Dh)
     # bf16 mode: cache stays exactly max_len (no silent growth)
     srv_bf16 = GenerationServer(EvoModel(cfg, params), max_slots=2,
