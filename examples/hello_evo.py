@@ -66,6 +66,21 @@ def main():
         top_k=4, verbose=0)
     for seq, score in zip(gen_seqs, gen_scores):
         print(f'  {seq!r}  score={score:+.4f}')
+    print('\n== Speculative decoding (self-similar prompts) ==')
+    # On repetitive genomic sequence the n-gram drafter proposes the
+    # continuation and one verify pass scores gamma tokens per weight
+    # read — with real evo-1 weights this is how the >650k-token
+    # self-similar generations get cheap (BASELINE.md: 1.7-2.0x plain
+    # decode at acceptance 1.0 on a LoRA-learned tandem repeat).
+    from evo_tpu.speculative import generate_speculative
+    toks, logps, stats = generate_speculative(
+        model, tokenizer, prompt='ACGTTGCAAC' * 12, num_tokens=24,
+        gamma=8)
+    print(f'  {tokenizer.detokenize(toks.tolist())!r}')
+    print(f'  acceptance={stats.acceptance_rate:.2f} '
+          f'tokens/device-call={stats.tokens_per_call:.2f} '
+          f'(random weights: acceptance ~0 is expected)')
+
     print('\nDone. Next steps: scripts/generation_to_folding.py folds '
           'generated proteins; semantic_design/ and phage_gen/ hold the '
           'full design pipelines.')
