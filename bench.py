@@ -409,14 +409,13 @@ def bench_spec_lora(cfg, steps: int = 100, rank: int = 32, lr: float = 1e-3,
         # target, loss_mask is a {0,1} gate (a previous revision passed
         # the shifted ids as the mask — a token-VALUE-weighted NLL)
         state, loss = step(state, params, w, jnp.ones_like(w, jnp.float32))
-        # host readback EVERY step: the scalar round trip (~30 ms) is
-        # noise next to the ~6.5 s train step. NOTE the axon tunnel
-        # client leaks host memory per *executed step* regardless of
-        # readback cadence (measured 2026-08-20: ~33 GB at step 50,
-        # 72 GB at 150, 115 GB at 200 — same trajectory async, every-25,
-        # and every-step), so the step count is the only effective
-        # memory lever; 100 steps is past the loss plateau (~step 50)
-        # and leaves >60 GB of host headroom for the decode phases
+        # host readback EVERY step: the scalar round trip is noise next
+        # to the ~0.66 s jitted train step. (An earlier EAGER revision of
+        # this loop took ~6.5 s/step and leaked host memory per DISPATCH
+        # in the axon tunnel client — jitting collapsed ~10^3
+        # dispatches/step to 1, fixing both; BASELINE.md 2026-08-20.)
+        # steps=100 is kept for TIME budget, not memory: it is past the
+        # loss plateau (~step 50) at ~1 min of bench wall-clock
         loss = float(loss)
         if i % 25 == 0 or i == steps - 1:
             print(f'  [spec_lora] step {i} loss {loss:.4f} '

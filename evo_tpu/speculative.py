@@ -49,17 +49,41 @@ class NGramIndex:
     acceptance 0.04 (chance-level) with teacher-forced accuracy 0.995;
     the n=12..4 longest-match index on the same weights accepts the
     periodic continuation. O(n - n_min) amortized update per token,
-    O(n - n_min) proposal.
+    O(n - n_min) proposal; host memory bounded by the sliding `window`
+    (see __init__) instead of growing with the emitted stream.
     """
 
-    def __init__(self, n: int = 12, n_min: Optional[int] = None):
+    def __init__(self, n: int = 12, n_min: Optional[int] = None,
+                 window: int = 32768):
         self.n = n
         self.n_min = n if n_min is None else n_min
         assert 1 <= self.n_min <= self.n
         self.tokens: List[int] = []
-        self._index: Dict[int, Dict[Tuple[int, ...], int]] = {
+        self._index: Dict[int, Dict[int, int]] = {
             k: {} for k in range(self.n_min, self.n + 1)}
         self._indexed_upto = 0      # grams ending strictly before this
+        # memory bound for the >650k-token generation regime: without
+        # eviction the (n - n_min + 1) dicts gain one entry per emitted
+        # token each — multiple GB of host RAM at megabase scale. The
+        # index is rebuilt over the trailing `window` positions whenever
+        # the indexed span exceeds 2*window (bulk clear: O(1)/token
+        # amortized, <=2*window entries per dict at any time). Forgetting
+        # matches farther back than `window` only affects DRAFT quality
+        # on repeats that distant (verify keeps the output exact);
+        # 32k tokens spans a typical full phage genome.
+        self.window = max(int(window), 4 * self.n)
+        self._index_base = 0        # oldest position with indexed grams
+
+    @staticmethod
+    def _key(toks: List[int], end: int, k: int) -> int:
+        """Pack the k-gram ending at `end` (inclusive) into one int
+        (10 bits/token — ids >=1024 alias, which at worst yields a bad
+        draft that verify rejects). ~2x less dict memory than tuple keys
+        and a single hash."""
+        key = 0
+        for i in range(end - k + 1, end + 1):
+            key = (key << 10) | (toks[i] & 0x3FF)
+        return key
 
     def extend(self, toks) -> None:
         self.tokens.extend(int(t) for t in toks)
@@ -69,9 +93,14 @@ class NGramIndex:
         is the QUERY; indexing it would always match itself)."""
         end = len(self.tokens) - 1
         toks = self.tokens
+        if end - self._index_base > 2 * self.window:
+            for idx in self._index.values():
+                idx.clear()
+            self._index_base = self._indexed_upto = end - self.window
         for k, idx in self._index.items():
-            for i in range(max(self._indexed_upto, k - 1), end):
-                idx[tuple(toks[i - k + 1:i + 1])] = i
+            start = max(self._indexed_upto, self._index_base + k - 1, k - 1)
+            for i in range(start, end):
+                idx[self._key(toks, i, k)] = i
         self._indexed_upto = max(self._indexed_upto, end)
 
     def propose(self, gamma: int) -> np.ndarray:
@@ -80,7 +109,7 @@ class NGramIndex:
         if len(toks) >= self.n_min:
             self._catch_up()
             for k in range(min(self.n, len(toks)), self.n_min - 1, -1):
-                j = self._index[k].get(tuple(toks[-k:]))
+                j = self._index[k].get(self._key(toks, len(toks) - 1, k))
                 if j is None:
                     continue
                 cont = toks[j + 1:j + 1 + gamma]

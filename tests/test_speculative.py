@@ -57,6 +57,23 @@ def test_ngram_longest_match_beats_short_collisions():
     assert idx3.n_min == idx3.n == 3
 
 
+def test_ngram_index_memory_bounded_by_window():
+    # ADVICE r4: without eviction the per-length dicts grow one entry per
+    # emitted token — GBs at the >650k-token regime. The sliding-window
+    # rebuild must bound every dict at <= 2*window entries while keeping
+    # proposals exact for matches inside the window.
+    rng = np.random.default_rng(3)
+    unit = rng.integers(0, 4, 256).tolist()
+    idx = NGramIndex(n=12, n_min=4, window=1024)
+    for _ in range(40):                      # 10,240 tokens >> 2*window
+        idx.extend(unit)
+        idx.propose(8)                       # triggers _catch_up
+    assert all(len(d) <= 2 * idx.window for d in idx._index.values())
+    # the most recent period is inside the window -> proposal still exact
+    idx.extend(unit[:31])
+    np.testing.assert_array_equal(idx.propose(8), unit[31:39])
+
+
 @pytest.mark.parametrize('gamma,ngram', [(1, 2), (4, 3), (8, 3)])
 def test_speculative_matches_greedy_repetitive_prompt(setup, gamma, ngram):
     model, tok = setup
