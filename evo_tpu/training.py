@@ -68,19 +68,40 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
-def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.01,
+def warmup_cosine(peak_lr: float, total_steps: int,
+                  warmup_steps: Optional[int] = None,
+                  end_lr_frac: float = 0.1) -> optax.Schedule:
+    """Linear warmup from 0 to `peak_lr` over `warmup_steps` (default:
+    total_steps/10, capped at 100), then cosine decay to
+    `end_lr_frac * peak_lr` at `total_steps` — the standard
+    continued-pretraining schedule for the crispr/transposon-style
+    finetunes the framework claims end-to-end (the reference's two
+    finetuned checkpoints, `evo/models.py:39-45`; SURVEY.md §7 P5)."""
+    if warmup_steps is None:
+        warmup_steps = min(100, max(1, total_steps // 10))
+    warmup_steps = min(warmup_steps, max(total_steps - 1, 1))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=peak_lr, warmup_steps=warmup_steps,
+        decay_steps=total_steps, end_value=end_lr_frac * peak_lr)
+
+
+def make_optimizer(learning_rate=1e-4, weight_decay: float = 0.01,
                    b1: float = 0.9, b2: float = 0.95,
                    grad_clip: float = 1.0) -> optax.GradientTransformation:
     """AdamW with global-norm clipping. Both moments are fp32 because the
     train step feeds fp32 master params/grads (optax stores nu in the
     grad dtype — mu_dtype alone would leave an 8-mantissa-bit second
     moment under bf16). Weight decay is masked to >=2-D tensors
-    excluding poles/residues (standard AdamW practice)."""
+    excluding poles/residues (standard AdamW practice).
+
+    learning_rate: a float (constant LR) or an optax schedule — e.g.
+    `warmup_cosine(...)` above; the step count for the schedule is
+    tracked inside the optimizer state (optax injects it)."""
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.scale_by_adam(b1=b1, b2=b2, mu_dtype=jnp.float32),
         optax.add_decayed_weights(weight_decay, mask=_decay_mask),
-        optax.scale(-learning_rate),
+        optax.scale_by_learning_rate(learning_rate),
     )
 
 

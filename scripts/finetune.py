@@ -54,6 +54,14 @@ def main():
                    help='per-host batch (global = batch x hosts under dp)')
     p.add_argument('--steps', type=int, default=100)
     p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--lr-schedule', choices=('constant', 'cosine'),
+                   default='cosine',
+                   help='cosine: linear warmup to --lr then cosine decay '
+                        'to --end-lr-frac * lr at --steps (the standard '
+                        'continued-pretraining recipe; docs/training.md)')
+    p.add_argument('--warmup-steps', type=int, default=None,
+                   help='default: steps/10, capped at 100')
+    p.add_argument('--end-lr-frac', type=float, default=0.1)
     p.add_argument('--weight-decay', type=float, default=0.01)
     p.add_argument('--grad-clip', type=float, default=1.0)
     p.add_argument('--seed', type=int, default=0)
@@ -101,8 +109,14 @@ def main():
     serving_dtypes = jax.tree_util.tree_map(lambda x: x.dtype,
                                             evo.model.params)
 
+    if args.lr_schedule == 'cosine':
+        lr = training.warmup_cosine(args.lr, total_steps=args.steps,
+                                    warmup_steps=args.warmup_steps,
+                                    end_lr_frac=args.end_lr_frac)
+    else:
+        lr = args.lr
     optimizer = training.make_optimizer(
-        learning_rate=args.lr, weight_decay=args.weight_decay,
+        learning_rate=lr, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip)
     if args.lora_rank > 0:
         from evo_tpu import lora as lora_lib

@@ -29,6 +29,50 @@ def test_loss_decreases_on_fixed_batch():
     assert losses[-1] < losses[0], losses
 
 
+def test_warmup_cosine_schedule_shape():
+    sched = training.warmup_cosine(1e-3, total_steps=100, warmup_steps=10,
+                                   end_lr_frac=0.1)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-3)
+    assert float(sched(5)) < float(sched(10))          # warmup ramp
+    assert float(sched(10)) > float(sched(50)) > float(sched(100))
+    # defaults: warmup = total/10 capped at 100, and never >= total
+    assert float(training.warmup_cosine(1e-3, total_steps=5)(4)) > 0
+
+
+def test_scheduled_optimizer_trains():
+    # the finetune recipe end-to-end: warmup+cosine schedule inside the
+    # jitted train step (schedule step count lives in the optax state,
+    # so resume via load_train_state keeps the LR trajectory)
+    cfg = tiny_config(num_layers=2, hidden_size=32, num_attention_heads=2,
+                      attn_layer_idxs=(1,), hyena_layer_idxs=(0,),
+                      inner_mlp_size=48)
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    opt = training.make_optimizer(
+        learning_rate=training.warmup_cosine(5e-3, total_steps=8,
+                                             warmup_steps=2))
+    state = training.init_train_state(params, opt)
+    step = jax.jit(training.make_train_step(cfg, opt))
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 64, (2, 24)), jnp.int32)
+    mask = jnp.ones_like(ids, jnp.float32)
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, ids, mask)
+        losses.append(float(loss))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    # step 0 ran at LR 0 (warmup start) -> the very first update must be
+    # exactly zero except weight decay... decay is multiplicative via
+    # update; assert instead the state's step advanced and params moved
+    # by the end
+    assert int(state.step) == 8
+    assert not np.allclose(np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]), np.asarray(p0))
+
+
 def test_loss_mask_zeroes_positions():
     cfg = tiny_config(num_layers=2, hidden_size=32, num_attention_heads=2,
                       attn_layer_idxs=(1,), hyena_layer_idxs=(0,),
