@@ -132,9 +132,20 @@ RECONSTRUCTED_LAYOUTS = {
 
 
 def convert_state_dict(sd: Dict[str, np.ndarray],
-                       cfg: ModelConfig) -> Dict[str, Any]:
+                       cfg: ModelConfig,
+                       debug_mislayout: Optional[str] = None
+                       ) -> Dict[str, Any]:
     """Map an engine-layer state dict (backbone prefix already stripped) to
     the evo_tpu param pytree.
+
+    debug_mislayout: adversarial-harness knob (NOT a production option) —
+    one of RECONSTRUCTED_LAYOUTS' keys. Converts under the named
+    plausible-but-WRONG layout variant (swapped hyena streams,
+    head-interleaved qkv, imag-first poles). Every such conversion passes
+    the shape validator by construction; `fingerprint_params` /
+    `verify_parity --fingerprint` must flag it (tests/test_checkpoint.py)
+    — the proof that a wrong reconstruction would be caught the day real
+    weights arrive rather than loaded silently.
 
     Engine tensor-name schema (stripedhyena==0.2.2; the package is config-
     driven and these names are its module paths - validated against checkpoint
@@ -158,6 +169,10 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
       blocks.{i}.filter.D                              (D,)
       blocks.{i}.out_filter_dense.weight/.bias         (D, D) / (D,)
     """
+    if (debug_mislayout is not None
+            and debug_mislayout not in RECONSTRUCTED_LAYOUTS):
+        raise ValueError(f'unknown debug_mislayout {debug_mislayout!r}; '
+                         f'one of {sorted(RECONSTRUCTED_LAYOUTS)}')
     sd = dict(sd)
     pd = jnp.dtype(cfg.param_dtype)
     D = cfg.hidden_size
@@ -206,8 +221,14 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             # torch (3D, D) -> (D, 3D) -> (D, 3, H, Dh); rows of the torch
             # weight are [q|k|v] contiguous, each (H, Dh)-major
             wqkv = _pop(sd, p + 'inner_mha_cls.Wqkv.weight').T
+            if debug_mislayout == 'qkv_interleave':
+                # the wrong-but-shape-identical alternative: heads major,
+                # q/k/v interleaved per head
+                wqkv_r = wqkv.reshape(D, H, 3, Dh).transpose(0, 2, 1, 3)
+            else:
+                wqkv_r = wqkv.reshape(D, 3, H, Dh)
             attn = {
-                'wqkv': _to_dtype(wqkv.reshape(D, 3, H, Dh), pd),
+                'wqkv': _to_dtype(wqkv_r, pd),
                 'wo': _to_dtype(
                     _pop(sd, p + 'inner_mha_cls.out_proj.weight')
                     .T.reshape(H, Dh, D), pd),
@@ -232,30 +253,42 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                 poles = poles[:, :, 0, :]
             if residues.ndim == 4:
                 residues = residues[:, :, 0, :]
+            if debug_mislayout == 'poles_layout':
+                # wrong-but-shape-identical: (imag, real) pairs
+                poles = poles[..., ::-1].copy()
+                residues = residues[..., ::-1].copy()
             fir_w = np.asarray(_pop(sd, p + 'filter.short_filter_weight'))
             if fir_w.ndim == 3:          # torch conv1d layout (3C, 1, K)
                 fir_w = fir_w[:, 0, :]
             K = fir_w.shape[-1]
             # stream order x2, x1, v = z.split(D) rows [0:D|D:2D|2D:3D]
+            w_in_r = _pop(sd, p + 'projections.weight').T.reshape(D, 3, D)
+            fir_w_r = fir_w.reshape(3, D, K)
+            if debug_mislayout == 'hyena_stream_order':
+                # wrong-but-shape-identical: x1|x2|v (gate/filter roles
+                # swapped), applied consistently to every stream-ordered
+                # tensor — exactly what a wrong reconstruction would do
+                w_in_r = w_in_r[:, (1, 0, 2), :]
+                fir_w_r = fir_w_r[(1, 0, 2), :, :]
             hy: Dict[str, Any] = {
-                'w_in': _to_dtype(
-                    _pop(sd, p + 'projections.weight').T.reshape(D, 3, D),
-                    pd),
-                'fir_w': _to_dtype(fir_w.reshape(3, D, K), pd),
+                'w_in': _to_dtype(w_in_r, pd),
+                'fir_w': _to_dtype(fir_w_r, pd),
                 'poles': jnp.asarray(poles, jnp.float32),
                 'residues': jnp.asarray(residues, jnp.float32),
                 'd_skip': _to_dtype(_pop(sd, p + 'filter.D'), pd),
                 'w_out': _to_dtype(
                     _pop(sd, p + 'out_filter_dense.weight').T, pd),
             }
+            perm = ((1, 0, 2) if debug_mislayout == 'hyena_stream_order'
+                    else (0, 1, 2))
             b = _pop(sd, p + 'projections.bias',
                      required=cfg.hyena_proj_bias)
             if b is not None and cfg.hyena_proj_bias:
-                hy['b_in'] = _to_dtype(b.reshape(3, D), pd)
+                hy['b_in'] = _to_dtype(b.reshape(3, D)[perm, :], pd)
             b = _pop(sd, p + 'filter.short_filter_bias',
                      required=cfg.short_filter_bias)
             if b is not None and cfg.short_filter_bias:
-                hy['fir_b'] = _to_dtype(b.reshape(3, D), pd)
+                hy['fir_b'] = _to_dtype(b.reshape(3, D)[perm, :], pd)
             b = _pop(sd, p + 'out_filter_dense.bias',
                      required=cfg.hyena_out_proj_bias)
             if b is not None and cfg.hyena_out_proj_bias:
@@ -494,6 +527,78 @@ def format_validation_report(report: Dict[str, Any]) -> str:
         for name, what in rec.items():
             lines.append(f'    reconstructed: {name} — {what}')
     return '\n'.join(lines)
+
+
+def fingerprint_params(params) -> Dict[str, Dict[str, Any]]:
+    """Cheap per-leaf numeric fingerprint a WRONG layout cannot survive.
+
+    Two stats per leaf, both O(size) with chunked f64 accumulation:
+
+      l2 / mean — permutation-INVARIANT: agree when the same values were
+        loaded, regardless of ordering (separates "different weights"
+        from "same weights, wrong layout");
+      proj — dot with a fixed pseudo-random sequence cos(0.81*i) over the
+        raveled leaf: any row/block/interleave permutation or
+        real↔imag swap changes it almost surely.
+
+    Recorded at conversion (`verify_parity --fingerprint`) these make a
+    wrong RECONSTRUCTED_LAYOUTS guess detectable without reference
+    outputs: the shape validator passes on every mislayout by
+    construction, the fingerprint does not (tests/test_checkpoint.py
+    adversarial tests convert under each deliberately-wrong variant and
+    assert the flag)."""
+    out: Dict[str, Dict[str, Any]] = {}
+    CH = 1 << 24                      # 16M elems/chunk: bounds f64 temps
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        flat = np.asarray(leaf).reshape(-1)
+        sq = s = proj = 0.0
+        for start in range(0, flat.size, CH):
+            c = np.asarray(flat[start:start + CH], np.float64)
+            idx = np.arange(start, start + c.size, dtype=np.float64)
+            r = np.cos(0.81 * idx)
+            sq += float(c @ c)
+            s += float(c.sum())
+            proj += float(c @ r)
+        out[jax.tree_util.keystr(path)] = {
+            'shape': [int(d) for d in np.shape(leaf)],
+            'dtype': str(leaf.dtype),
+            'l2': float(np.sqrt(sq)),
+            'mean': s / max(flat.size, 1),
+            'proj': proj,
+        }
+    return out
+
+
+def compare_fingerprints(got: Dict[str, Dict[str, Any]],
+                         want: Dict[str, Dict[str, Any]],
+                         rtol: float = 1e-3) -> list:
+    """Differences between two `fingerprint_params` results, worst first.
+
+    Returns [] when they match. Tolerances scale with each leaf's l2
+    (proj is ~N(0, l2²/2) under random sign conventions, so rtol*l2 is
+    the natural scale). A matching l2 with a differing proj is tagged as
+    the layout-error signature."""
+    problems = []
+    for k in sorted(set(got) | set(want)):
+        if k not in got:
+            problems.append(f'{k}: missing from converted tree')
+            continue
+        if k not in want:
+            problems.append(f'{k}: unexpected leaf')
+            continue
+        g, w = got[k], want[k]
+        if list(g['shape']) != list(w['shape']):
+            problems.append(f"{k}: shape {g['shape']} != {w['shape']}")
+            continue
+        scale = max(abs(w['l2']), 1e-12)
+        l2_ok = abs(g['l2'] - w['l2']) <= rtol * scale
+        for stat in ('l2', 'mean', 'proj'):
+            if abs(g[stat] - w[stat]) > rtol * scale:
+                tag = (' [same norms, different order -> LAYOUT error]'
+                       if stat == 'proj' and l2_ok else '')
+                problems.append(
+                    f"{k}: {stat} {g[stat]:.8g} != {w[stat]:.8g}{tag}")
+    return problems
 
 
 def infer_config_overrides(sd: Dict[str, np.ndarray],

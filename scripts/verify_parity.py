@@ -172,6 +172,17 @@ def main():
                     help='harness self-test with random weights')
     ap.add_argument('--write-reference-script', default=None, metavar='PATH',
                     help='write the reference-side golden emitter and exit')
+    ap.add_argument('--fingerprint', default=None, metavar='OUT_JSON',
+                    help='write the converted tree\'s numeric fingerprint '
+                         '(per-leaf l2/mean + a permutation-sensitive '
+                         'projection, checkpoint.fingerprint_params) — '
+                         'record it at conversion so any later layout '
+                         'change is detectable without reference outputs')
+    ap.add_argument('--fingerprint-ref', default=None, metavar='REF_JSON',
+                    help='compare the converted tree against a recorded '
+                         'fingerprint; FAIL lists every mismatched leaf '
+                         '(a same-norm/different-proj row is the '
+                         'wrong-layout signature)')
     ap.add_argument('--manifest', action='store_true',
                     help='print the expected tensor-shape manifest for all '
                          'five registry checkpoints (no snapshot needed) '
@@ -225,6 +236,27 @@ def main():
 
     evo = Evo(args.model_name, checkpoint_path=args.checkpoint,
               random_init=args.random_init)
+
+    if args.fingerprint or args.fingerprint_ref:
+        fp = ckpt.fingerprint_params(evo.model.params)
+        if args.fingerprint:
+            with open(args.fingerprint, 'w') as f:
+                json.dump(fp, f, indent=1)
+            print(f'wrote fingerprint ({len(fp)} leaves) to '
+                  f'{args.fingerprint}')
+        if args.fingerprint_ref:
+            with open(args.fingerprint_ref) as f:
+                want = json.load(f)
+            problems = ckpt.compare_fingerprints(fp, want)
+            if problems:
+                print(f'fingerprint: FAIL ({len(problems)} leaves)')
+                for p in problems[:40]:
+                    print(f'  {p}')
+                return 1
+            print(f'fingerprint: PASS ({len(fp)} leaves match)')
+        if not (args.reference_npz or args.emit_npz):
+            return 0
+
     seqs = read_fasta_seqs(args.fasta)
     print(f'computing outputs for {len(seqs)} sequences + '
           f'{args.greedy_tokens}-token greedy generation...')

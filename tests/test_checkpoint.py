@@ -368,3 +368,41 @@ def test_validate_accepts_squeezed_short_filter(tiny):
     report = checkpoint.validate_state_dict(sd, cfg)
     assert report['ok'], checkpoint.format_validation_report(report)
     checkpoint.convert_state_dict(dict(sd), cfg)
+
+
+def test_adversarial_mislayout_caught_by_fingerprint(tiny):
+    """VERDICT r4 #7: each RECONSTRUCTED_LAYOUTS assumption, converted
+    under its deliberately-WRONG variant, passes the shape validator by
+    construction — the numeric fingerprint must be what flags it (and the
+    model outputs must actually differ, proving the flag matters)."""
+    cfg, params = tiny
+    sd = checkpoint.export_state_dict(params, cfg)
+    good = checkpoint.convert_state_dict(dict(sd), cfg)
+    fp_good = checkpoint.fingerprint_params(good)
+    # round-trip sanity: original tree and converted tree fingerprints match
+    assert checkpoint.compare_fingerprints(
+        checkpoint.fingerprint_params(params), fp_good) == []
+
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 512, (1, 16)), jnp.int32)
+    ref_logits = model_lib.forward(good, cfg, ids)
+    for key in checkpoint.RECONSTRUCTED_LAYOUTS:
+        bad = checkpoint.convert_state_dict(dict(sd), cfg,
+                                            debug_mislayout=key)
+        report = checkpoint.validate_state_dict(sd, cfg)
+        assert report['ok'], key          # shapes CANNOT catch it
+        problems = checkpoint.compare_fingerprints(
+            checkpoint.fingerprint_params(bad), fp_good)
+        assert problems, key              # ...the fingerprint does
+        assert any('LAYOUT' in p for p in problems), (key, problems)
+        bad_logits = model_lib.forward(bad, cfg, ids)
+        diff = float(jnp.max(jnp.abs(bad_logits - ref_logits)))
+        assert diff > 1e-3, (key, diff)   # and the numerics really break
+
+
+def test_unknown_mislayout_rejected(tiny):
+    cfg, params = tiny
+    sd = checkpoint.export_state_dict(params, cfg)
+    with pytest.raises(ValueError, match='debug_mislayout'):
+        checkpoint.convert_state_dict(dict(sd), cfg,
+                                      debug_mislayout='typo')
