@@ -458,6 +458,147 @@ def bench_spec_lora(cfg, steps: int = 100, rank: int = 32, lr: float = 1e-3,
     return best, plain_tps, stats, acc
 
 
+def _ngram_oracle_acceptance(ids: np.ndarray, start: int, gamma: int,
+                             n: int = 12, n_min: int = 4):
+    """Drafter-oracle acceptance: if the model were PERFECT (emitting
+    exactly `ids[start:]`), what would the longest-match n-gram drafter's
+    acceptance be? A pure data property of the sequence — the upper
+    bound speculation can reach on this workload with real weights, and
+    a direct quantification of the reference's self-similar-genome claim
+    (hello_evo.ipynb cell 0). Mirrors generate_speculative's greedy
+    accept loop host-side (no device work)."""
+    from evo_tpu.speculative import NGramIndex
+
+    idx = NGramIndex(n, n_min=n_min)
+    idx.extend(ids[:start])
+    pos, proposed, accepted, cycles = start, 0, 0, 0
+    while pos < len(ids):
+        props = idx.propose(gamma)
+        true = ids[pos:pos + gamma]
+        a = 0
+        while a < len(true) and int(props[a]) == int(true[a]):
+            a += 1
+        accepted += a
+        proposed += len(true)
+        cycles += 1
+        consumed = min(a + 1, len(true))   # accepted run + correction
+        idx.extend(ids[pos:pos + consumed])
+        pos += consumed
+    return (accepted / max(proposed, 1),
+            (accepted + cycles) / max(cycles, 1))
+
+
+def bench_spec_phage(cfg, gammas=(4, 8, 16), steps: int = 120,
+                     rank: int = 32, lr: float = 1e-3,
+                     seq_len: int = 1024, prompt_len: int = 768,
+                     num_tokens: int = 256):
+    """Speculative acceptance on REALISTIC genomes (VERDICT r4 #4): the
+    spec_lora harness's friendly extreme (tandem repeats, acceptance
+    1.00) and the random-weights negative (5e-4) bracket the mode; this
+    measures the realistic middle. LoRA-finetune the 7B base on 15 of
+    the 16 viable generated phage genomes
+    (phage_gen/data/viable_generated_phage_genomes.fasta — the
+    reference's own artifact class), then speculative-greedy-decode a
+    continuation of the HELD-OUT genome's 768-nt prefix across gamma,
+    reporting measured acceptance / tokens-per-device-call / speedup vs
+    plain fused decode on the same merged weights, plus two model-free
+    drafter-oracle acceptances: prompt-only context (matches the
+    measured runs) and full-sibling-genome context (the deployment
+    pattern where a whole reference genome precedes generation).
+
+    Window discipline (the r4 rotary-OOD lesson): training windows,
+    prompt, and generation all stay inside seq_len rotary positions.
+    """
+    import optax
+
+    from evo_tpu.io.fasta import read_fasta
+    from evo_tpu.lora import (init_lora, init_lora_train_state,
+                              make_lora_train_step, merge_lora)
+    from evo_tpu.models import EvoModel
+    from evo_tpu.speculative import generate_speculative
+    from evo_tpu.tokenizer import CharLevelTokenizer
+
+    assert prompt_len + num_tokens <= seq_len
+    tok = CharLevelTokenizer(512)
+    _, seqs = read_fasta(
+        'phage_gen/data/viable_generated_phage_genomes.fasta')
+    held_out = seqs[-1]
+    stream = np.concatenate(
+        [np.asarray(tok.tokenize(s), np.int32) for s in seqs[:-1]])
+    genome_ids = np.asarray(tok.tokenize(held_out), np.int32)
+    sibling_ids = np.asarray(tok.tokenize(seqs[0]), np.int32)
+
+    # model-free oracles first (they need no weights)
+    oracles = {}
+    for gamma in gammas:
+        acc_p, _tpc = _ngram_oracle_acceptance(genome_ids, prompt_len,
+                                               gamma)
+        primed = np.concatenate([sibling_ids,
+                                 genome_ids[:prompt_len]])
+        acc_g, _ = _ngram_oracle_acceptance(
+            np.concatenate([primed, genome_ids[prompt_len:]]),
+            len(primed), gamma)
+        oracles[gamma] = {'prompt_only': round(acc_p, 4),
+                          'genome_primed': round(acc_g, 4)}
+
+    params = _init_params(cfg)
+    cfg_train = cfg.replace(use_pallas='never', remat=True)
+    lora = init_lora(jax.random.PRNGKey(1), params, cfg, rank=rank)
+    opt = optax.adam(lr)
+    state = init_lora_train_state(lora, opt)
+    step = jax.jit(make_lora_train_step(cfg_train, opt, alpha=16.0))
+    rng = np.random.default_rng(0)
+    t_train = time.perf_counter()
+    for i in range(steps):
+        s = int(rng.integers(0, len(stream) - seq_len))
+        w = jnp.asarray(stream[None, s:s + seq_len])
+        state, loss = step(state, params, w,
+                           jnp.ones_like(w, jnp.float32))
+        loss = float(loss)                 # sync bounds dispatch queue
+        if i % 25 == 0 or i == steps - 1:
+            print(f'  [spec_phage] step {i} loss {loss:.4f} '
+                  f'({time.perf_counter() - t_train:.0f}s)',
+                  file=sys.stderr, flush=True)
+    merged = merge_lora(params, state.lora, alpha=16.0, donate=True)
+    del params, state
+    model = EvoModel(cfg, merged)
+
+    # teacher-forced next-token accuracy on the held-out prefix
+    probe = jnp.asarray(genome_ids[None, :seq_len])
+    logits = jax.jit(lambda p, i: model_lib.forward(p, cfg, i))(
+        merged, probe)
+    pred = np.asarray(jnp.argmax(logits[0, :-1], -1))
+    acc_tf = float((pred == np.asarray(probe[0, 1:])).mean())
+
+    plain_tps = bench_generate(cfg, 1, prompt_len=128,
+                               n_tokens=num_tokens, params=merged)
+
+    prompt_ids = genome_ids[:prompt_len]
+    results = {}
+    for gamma in gammas:
+        def spec_run(_g=gamma):
+            t0 = time.perf_counter()
+            _, _, stats = generate_speculative(
+                model, input_ids=prompt_ids, num_tokens=num_tokens,
+                gamma=_g)
+            return num_tokens / (time.perf_counter() - t0), stats
+        spec_run()                          # compile + warmup
+        best, stats = 0.0, None
+        for _ in range(2):
+            tps, stats = spec_run()
+            best = max(best, tps)
+        results[f'gamma{gamma}'] = {
+            'tps': round(best, 2),
+            'speedup_vs_plain': round(best / max(plain_tps, 1e-9), 4),
+            'acceptance': round(stats.acceptance_rate, 4),
+            'tokens_per_device_call': round(stats.tokens_per_call, 4),
+            'oracle_acceptance': oracles[gamma],
+        }
+        print(f'  [spec_phage] {results[f"gamma{gamma}"]}',
+              file=sys.stderr, flush=True)
+    return plain_tps, acc_tf, results
+
+
 def bench_scaling(cfg, batch: int, length: int):
     """Scaling-efficiency sweep (SURVEY.md §7 Phase 4): prefill tokens/s at
     every tp that divides the visible device count, dp=1. Returns
@@ -1018,9 +1159,10 @@ def _run_all(args) -> None:
         ('ldec_int8', 'decode_at_context_122880_int8w_int8kv',
          300, 900),
         ('serv96', 'serving_int8_96slots', 240, 800),
+        ('lgen16', 'long_generation_16k', 240, 800),
     ]
-    order = ([3, 4, 0, 1, 2] if _round_number() % 2 == 1
-             else [0, 1, 2, 3, 4])
+    order = ([3, 4, 5, 0, 1, 2] if _round_number() % 2 == 1
+             else [0, 1, 2, 3, 4, 5])
     for sect, key, floor_s, cap_s in (iso_rows[i] for i in order):
         if left() < floor_s:
             extras[key] = ('skipped (budget; see BASELINE.md for the '
@@ -1124,6 +1266,12 @@ def _run_section(section: str) -> None:
         tps = bench_full131k()
         row = {'value': round(tps, 1), 'unit': 'tokens/s/chip',
                'vs_baseline': round(tps / tgt131, 4)}
+    elif section == 'lgen16':
+        tps, info = bench_longgen(total_tokens=16384, chunk=4096,
+                                  quant='int8', n_checkpoints=1)
+        row = {'value': round(tps, 2),
+               'unit': 'tokens/s sustained (greedy B=1 int8, 131k cfg)',
+               **info}
     elif section == 'serv96':
         # int8 weights free ~6.3 GB of HBM, doubling the slot budget past
         # the bf16 memory wall (BASELINE.md 2026-08-19: 1,713 tok/s at 96
@@ -1196,6 +1344,115 @@ def bench_full131k(length: int = 131072, segment: int = 8192,
                                   segment_len=segment)
         ts.append(time.perf_counter() - t0)
     return length / min(ts[1:] or ts)
+
+
+def _fresh_prefill_last_logits(model, ids, segment: int = 8192):
+    """Last-position logits of `ids` via a fresh segmented resumable
+    prefill (O(segment) activations) — the long-generation spot-check
+    oracle. The ragged remainder goes in the FIRST chunk so every later
+    chunk shares one compiled shape."""
+    from evo_tpu.scoring import (_aligned_cache_len, _cache_align,
+                                 _segment_bounds)
+
+    L = int(ids.shape[1])
+    cache = model.initialize_inference_params(
+        ids.shape[0], _aligned_cache_len(L, _cache_align(model.config)))
+    bounds = _segment_bounds(L, segment)      # already starts at 0
+    logits = None
+    for i in range(len(bounds) - 1):
+        s, e = bounds[i], bounds[i + 1]
+        logits, cache = model(jnp.asarray(ids[:, s:e]),
+                              inference_params_dict=cache,
+                              donate_cache=True, resume=s > 0)
+    del cache
+    return np.asarray(logits[:, -1], np.float32)
+
+
+def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
+                  quant: str = 'int8', n_checkpoints: int = 1,
+                  prompt_len: int = 128, growth_align: int = 8192,
+                  model_name: str = 'evo-1-131k-base',
+                  cfg=None, params=None):
+    """Sustained long generation (VERDICT r4 #2; the reference demos
+    >650k generated tokens, hello_evo.ipynb cell 0): greedy chunked
+    decode at 7B through the resumable Generator cache, crossing a
+    `_grow_cache` regrowth boundary every `growth_align` positions, with
+    the decode-path logits spot-checked against a fresh segmented
+    prefill over the emitted stream at `n_checkpoints` points (+ the
+    final chunk). 131k config: interpolated rotary covers the offsets.
+
+    Returns (sustained_tps, info): sustained = chunk/median(chunk time)
+    — steady-state decode; wall_tps includes the per-regrowth XLA
+    compiles (bounded at total/growth_align by generation.py's aligned
+    regrowth)."""
+    from evo_tpu.generation import Generator
+    from evo_tpu.models import EvoModel, config_for_model
+    from evo_tpu.tokenizer import CharLevelTokenizer
+
+    if cfg is None:
+        cfg = config_for_model(model_name)
+    provided = params is not None
+    if params is None:
+        params = _init_params(cfg)
+        if quant in ('int8', 'int4'):
+            from evo_tpu.quant import quantize_params
+            params = quantize_params(params, free_source=True, mode=quant)
+    model = EvoModel(cfg, params)
+    gen = Generator(model, CharLevelTokenizer(cfg.vocab_size), top_k=1,
+                    temperature=0.0)
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 256, (1, prompt_len)).astype(np.int32)
+    n_chunks = max(1, total_tokens // chunk)
+    stride = max(1, n_chunks // max(n_checkpoints, 1))
+    check_at = (set(range(stride - 1, n_chunks, stride)) | {n_chunks - 1}
+                if n_checkpoints > 0 else set())
+
+    stream = [prompt[0]]
+    cache, nxt = None, jnp.asarray(prompt)
+    chunk_times, checks = [], []
+    regrowths, prev_klen = 0, None
+    t_wall = time.perf_counter()
+    for ci in range(n_chunks):
+        t0 = time.perf_counter()
+        part, scores, cache = gen.generate(
+            input_ids=nxt, num_tokens=chunk, inference_params_dict=cache,
+            cache_growth_align=growth_align, verbose=False)
+        part_np = np.asarray(part)[0]              # sync (host readback)
+        chunk_times.append(time.perf_counter() - t0)
+        for layer in cache['layers']:
+            if isinstance(layer, dict) and 'k' in layer:
+                klen = layer['k'].shape[2 if 'ks' in layer else 1]
+                if prev_klen is not None and klen != prev_klen:
+                    regrowths += 1
+                prev_klen = klen
+                break
+        stream.append(part_np)
+        if ci in check_at:
+            scores_last = np.asarray(scores[0, -1], np.float32)
+            ids_all = np.concatenate(stream)[None]
+            fresh = _fresh_prefill_last_logits(model, ids_all[:, :-1])[0]
+            checks.append({
+                'at_generated_tokens': int((ci + 1) * chunk),
+                'max_abs_logit_diff': round(
+                    float(np.max(np.abs(scores_last - fresh))), 4),
+                'argmax_agree': bool(int(scores_last.argmax())
+                                     == int(fresh.argmax())),
+            })
+        nxt = jnp.asarray(part_np[-1:][None])
+        print(f'  [longgen] chunk {ci + 1}/{n_chunks} '
+              f'{chunk / chunk_times[-1]:.1f} tok/s '
+              f'(KV len {prev_klen})', file=sys.stderr, flush=True)
+    wall = time.perf_counter() - t_wall
+    sustained = chunk / float(np.median(chunk_times))
+    info = {
+        'total_tokens': n_chunks * chunk, 'chunk': chunk,
+        'regrowths': regrowths,
+        'quant': 'caller-provided' if provided else quant,
+        'wall_tps': round(n_chunks * chunk / wall, 2),
+        'spot_checks': checks,
+    }
+    return sustained, info
 
 
 def bench_longdecode(kv_quant: str = 'none', context: int = 122880,
@@ -1309,7 +1566,8 @@ def main():
                     choices=['all', 'prefill8k', 'prefill131k', 'decode',
                              'generate', 'tiny', 'scaling', 'full131k',
                              'serving', 'serving_latency', 'speculative',
-                             'spec_lora', 'longdecode'])
+                             'spec_lora', 'spec_phage', 'longdecode',
+                             'longgen'])
     ap.add_argument('--budget-s', type=float, default=1100.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
@@ -1320,7 +1578,7 @@ def main():
                          'budget still bounds the run')
     ap.add_argument('--section', default=None,
                     choices=('p131', 'int4', 'full131k', 'ldec_bf16',
-                             'ldec_int8'),
+                             'ldec_int8', 'serv96', 'lgen16'),
                     help="internal: run ONE preset-'all' row in this "
                          'process (used for allocator isolation)')
     ap.add_argument('--verify', action='store_true',
@@ -1424,6 +1682,24 @@ def main():
             'vs_baseline': round(tps / tgt, 3)}))
         return
 
+    if args.preset == 'longgen':
+        if not on_tpu:
+            print(json.dumps({'metric': 'long_generation', 'value': None,
+                              'unit': 'tokens/s',
+                              'note': 'requires a TPU (7B sustained '
+                                      'long-generation workload)'}))
+            return
+        total = args.length or 65536
+        quant = args.quant if args.quant != 'none' else 'int8'
+        tps, info = bench_longgen(total_tokens=total, chunk=4096,
+                                  quant=quant, n_checkpoints=3)
+        print(json.dumps({'metric': f'long_generation_{total}',
+                          'value': round(tps, 2),
+                          'unit': 'tokens/s sustained (greedy B=1, '
+                                  '131k cfg)',
+                          **info}))
+        return
+
     if args.preset == 'longdecode':
         if not on_tpu:
             print(json.dumps({'metric': 'longdecode', 'value': None,
@@ -1512,6 +1788,20 @@ def main():
                 'acceptance_rate': round(stats.acceptance_rate, 4),
                 'tokens_per_device_call': round(stats.tokens_per_call, 4),
                 'teacher_forced_accuracy': round(acc, 4),
+            }))
+            return
+        if args.preset == 'spec_phage':
+            plain_tps, acc_tf, rows = bench_spec_phage(cfg)
+            best = max(rows.values(), key=lambda r: r['tps'])
+            print(json.dumps({
+                'metric': f'speculative_decode_phage_genomes_{name}',
+                'value': best['tps'],
+                'unit': 'tokens/s (B=1 greedy, held-out viable phage '
+                        'genome, LoRA on the other 15)',
+                'vs_baseline': best['speedup_vs_plain'],
+                'plain_fused_decode_tps': round(plain_tps, 2),
+                'teacher_forced_accuracy': round(acc_tf, 4),
+                'by_gamma': rows,
             }))
             return
         if args.preset == 'serving_latency':

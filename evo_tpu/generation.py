@@ -158,6 +158,7 @@ class Generator:
         verbose: bool = False,
         max_seqlen: Optional[int] = None,
         inference_params_dict=None,
+        cache_growth_align: int = 8192,
         device: Optional[str] = None,  # accepted for API compat; unused
         print_generation: bool = False,
         skip_special_tokens: bool = False,
@@ -175,6 +176,12 @@ class Generator:
         `score_sequences_segmented`, for 131k-class prompts on one chip).
         Exact: the chunked conv carries modal/FIR state and attention
         attends over the KV buffer (Pallas buffer-flash on TPU).
+
+        cache_growth_align: when a RESUMED call must grow the KV cache,
+        the new length is rounded up to this multiple so a long chunked
+        generation recompiles once per `align` positions instead of once
+        per chunk (greedy resumed chunks are token-exact vs a single
+        call regardless; tests/test_generation.py).
         """
         del cached_generation  # decode is always cached on TPU
         if num_tokens < 1:
@@ -216,7 +223,16 @@ class Generator:
             offset = int(np.asarray(cache['offset']))
             needed = offset + int(prompt.shape[1]) + num_forced \
                 + int(num_tokens)
-            cache = _grow_cache(cache, needed)
+            # align the regrowth target (cache_growth_align): exact-size
+            # growth would give every resumed call a distinct KV shape —
+            # one fresh XLA compile per chunk over a >650k-token run; the
+            # aligned target bounds compiled shapes at total_len/align
+            # while wasting at most align-1 KV positions (~400 MB at 7B
+            # bf16 for the 8192 default)
+            cache = _grow_cache(
+                cache, _aligned_cache_len(
+                    needed - 1, max(_cache_align(cfg),
+                                    int(cache_growth_align))))
         else:
             # _aligned_cache_len: 1024-aligned KV buffers make the Pallas
             # buffer-flash kernel eligible for the segmented prefill below

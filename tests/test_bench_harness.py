@@ -85,3 +85,41 @@ def test_run_isolated_clears_child_handle(monkeypatch):
 def test_run_section_rejects_unknown_name():
     with pytest.raises(SystemExit):
         bench._run_section('nope')
+
+
+def test_round_number_env_override(monkeypatch):
+    monkeypatch.setenv('BENCH_ROUND', '7')
+    assert bench._round_number() == 7
+
+
+def test_ngram_oracle_acceptance_brackets():
+    import numpy as np
+    rng = np.random.default_rng(0)
+    unit = rng.integers(0, 4, 256)
+    periodic = np.tile(unit, 8)
+    acc, tpc = bench._ngram_oracle_acceptance(periodic, 512, gamma=8)
+    assert acc > 0.95 and tpc > 7.0          # perfect self-similarity
+    random = rng.integers(0, 4, 2048)
+    acc_r, _ = bench._ngram_oracle_acceptance(random, 512, gamma=8)
+    assert acc_r < 0.2                        # chance-level
+
+
+def test_longgen_tiny_regrowth_and_consistency():
+    """bench_longgen at tiny scale: chunked greedy generation must cross
+    >=2 cache regrowths and its decode logits must match fresh prefills
+    exactly (f32) at every spot-check."""
+    import jax
+
+    from evo_tpu import model as model_lib
+    from evo_tpu.config import tiny_config
+    cfg = tiny_config(max_sequence_len=2048)
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    tps, info = bench.bench_longgen(
+        total_tokens=256, chunk=64, n_checkpoints=2, prompt_len=16,
+        growth_align=1, cfg=cfg, params=params)
+    assert tps > 0
+    assert info['regrowths'] >= 2, info
+    assert info['spot_checks'], info
+    assert all(c['argmax_agree'] for c in info['spot_checks']), info
+    assert all(c['max_abs_logit_diff'] < 1e-2
+               for c in info['spot_checks']), info

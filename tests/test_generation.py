@@ -147,6 +147,44 @@ def test_resumable_generation_matches_single_run(setup):
     np.testing.assert_array_equal(combined, full)
 
 
+def test_long_chunked_generation_crosses_regrowth_boundaries(setup):
+    """VERDICT r4 #2's consistency assertion: many resumed greedy chunks
+    with a small cache_growth_align (forcing several _grow_cache
+    regrowths) must be token-exact vs one single-shot generation, and
+    the per-step decode logits must match a fresh prefill at the same
+    position (the long-generation bench's on-chip spot-check, tiny
+    scale)."""
+    import jax.numpy as jnp
+    model, tokenizer = setup
+    g = Generator(model, tokenizer, top_k=1, temperature=0.0)
+    ids = tokenizer.tokenize('ACGTACGT')[None]
+    total, chunk = 96, 16
+
+    full, _, _ = g.generate(input_ids=ids, num_tokens=total, verbose=False)
+    full = np.asarray(full)[0]
+
+    pieces, scores_last, cache = [], None, None
+    nxt = ids
+    for start in range(0, total, chunk):
+        # align=1 defeats the alignment floor (min 128 inside
+        # _aligned_cache_len) — still several distinct grown shapes
+        part, scores, cache = g.generate(
+            input_ids=nxt, num_tokens=chunk, inference_params_dict=cache,
+            cache_growth_align=1, verbose=False)
+        part = np.asarray(part)[0]
+        pieces.append(part)
+        scores_last = np.asarray(scores)[0, -1]
+        nxt = part[-1:][None]
+    np.testing.assert_array_equal(np.concatenate(pieces), full)
+
+    # decode-path logits at the final emitted step == fresh-prefill logits
+    # over the same stream (prompt + all but the last generated token)
+    stream = np.concatenate([np.asarray(ids)[0], full[:-1]])[None]
+    fresh, _ = model(jnp.asarray(stream))
+    np.testing.assert_allclose(scores_last, np.asarray(fresh)[0, -1],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_top_p_zero_keeps_top_token():
     """top_p <= 0 must degenerate to keeping only the most likely token
     (never uniform sampling over the masked-out vocab)."""
