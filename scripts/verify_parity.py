@@ -30,7 +30,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# honor JAX_PLATFORMS before the backend initializes: on this machine the
+# env var alone LOSES to the out-of-tree TPU plugin (a "CPU" run would
+# silently claim the TPU — and a killed one wedges the chip); the
+# programmatic config wins (same guard as scripts/finetune.py)
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 
 import numpy as np
 
