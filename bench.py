@@ -1432,7 +1432,8 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
         t0 = time.perf_counter()
         part, scores, cache = gen.generate(
             input_ids=nxt, num_tokens=chunk, inference_params_dict=cache,
-            cache_growth_align=growth_align, verbose=False)
+            cache_growth_align=growth_align, donate_cache=True,
+            verbose=False)
         part_np = np.asarray(part)[0]              # sync (host readback)
         chunk_times.append(time.perf_counter() - t0)
         for layer in cache['layers']:

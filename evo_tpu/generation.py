@@ -95,11 +95,19 @@ def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
     return generation, scores, cache
 
 
-def _grow_cache(cache, needed_len: int):
+def _grow_cache(cache, needed_len: int, donate: bool = False):
     """Extend KV time buffers so a resumed generation fits.
 
     FIR/modal Hyena state is O(1) in sequence length, so only the
-    attention K/V buffers grow (host-side pad; outside jit)."""
+    attention K/V buffers grow (host-side pad; outside jit).
+
+    donate=True frees each old KV buffer as soon as its padded copy
+    exists and hands the remaining leaves through UNcopied — the
+    caller's tree is consumed. At 65k+ contexts this halves the
+    regrowth transient (old full KV + new full KV next to the weights
+    is what crashed the 73728-position growth on a 16 GB chip);
+    donate=False keeps the reference contract (the caller's
+    inference_params_dict stays valid, evo/generation.py:105-114)."""
     current = None
     for layer in cache['layers']:
         if isinstance(layer, dict) and 'k' in layer:
@@ -117,9 +125,15 @@ def _grow_cache(cache, needed_len: int):
             def padt(a, _t=t_axis):
                 pads = [(0, 0)] * a.ndim
                 pads[_t] = (0, pad)
-                return jnp.pad(a, pads)
+                out = jnp.pad(a, pads)
+                if donate and hasattr(a, 'delete'):
+                    out.block_until_ready()
+                    a.delete()
+                return out
 
             new_layers.append({kk: padt(a) for kk, a in layer.items()})
+        elif donate:
+            new_layers.append(layer)
         else:
             # copy EVERY remaining leaf (offset, Hyena state, unpadded KV):
             # the generate program donates its cache argument, and the
@@ -128,6 +142,8 @@ def _grow_cache(cache, needed_len: int):
             new_layers.append(jax.tree_util.tree_map(
                 lambda x: x.copy() if hasattr(x, 'copy') else x, layer))
     offset = cache['offset']
+    if donate:
+        return {'offset': offset, 'layers': new_layers}
     return {'offset': offset.copy() if hasattr(offset, 'copy') else offset,
             'layers': new_layers}
 
@@ -159,6 +175,7 @@ class Generator:
         max_seqlen: Optional[int] = None,
         inference_params_dict=None,
         cache_growth_align: int = 8192,
+        donate_cache: bool = False,
         device: Optional[str] = None,  # accepted for API compat; unused
         print_generation: bool = False,
         skip_special_tokens: bool = False,
@@ -182,6 +199,12 @@ class Generator:
         generation recompiles once per `align` positions instead of once
         per chunk (greedy resumed chunks are token-exact vs a single
         call regardless; tests/test_generation.py).
+
+        donate_cache: consume the passed inference_params_dict (its old
+        KV buffers are freed during regrowth instead of copied). Halves
+        the regrowth memory transient — required for 65k+ single-chip
+        generation; leave False to keep the caller's dict reusable (the
+        reference contract).
         """
         del cached_generation  # decode is always cached on TPU
         if num_tokens < 1:
@@ -232,7 +255,8 @@ class Generator:
             cache = _grow_cache(
                 cache, _aligned_cache_len(
                     needed - 1, max(_cache_align(cfg),
-                                    int(cache_growth_align))))
+                                    int(cache_growth_align))),
+                donate=donate_cache)
         else:
             # _aligned_cache_len: 1024-aligned KV buffers make the Pallas
             # buffer-flash kernel eligible for the segmented prefill below

@@ -81,6 +81,26 @@ def main():
           f'tokens/device-call={stats.tokens_per_call:.2f} '
           f'(random weights: acceptance ~0 is expected)')
 
+    print('\n== Long generation (resumable cache across regrowths) ==')
+    # The reference demos >650k generated tokens; the machinery is the
+    # resumable cache + aligned regrowth (generation.py). Chunked greedy
+    # is token-exact vs one single call; at 7B the driver bench row
+    # `long_generation_16k` and the BASELINE 65k run measure it on-chip.
+    import numpy as np
+
+    from evo_tpu.generation import Generator
+    g = Generator(model, tokenizer, top_k=1, temperature=0.0)
+    cache, nxt, pieces = None, tokenizer.tokenize('ACGTACGT')[None], []
+    for _ in range(3):
+        part, _, cache = g.generate(
+            input_ids=nxt, num_tokens=16, inference_params_dict=cache,
+            verbose=False)
+        pieces.append(part[0])
+        nxt = np.asarray(part)[0][-1:][None]
+    total = np.concatenate([np.asarray(p) for p in pieces])
+    print(f'  3 resumed chunks -> {len(total)} tokens: '
+          f'{tokenizer.detokenize(total.tolist())[:48]!r}...')
+
     print('\nDone. Next steps: scripts/generation_to_folding.py folds '
           'generated proteins; semantic_design/ and phage_gen/ hold the '
           'full design pipelines.')

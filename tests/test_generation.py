@@ -167,10 +167,12 @@ def test_long_chunked_generation_crosses_regrowth_boundaries(setup):
     nxt = ids
     for start in range(0, total, chunk):
         # align=1 defeats the alignment floor (min 128 inside
-        # _aligned_cache_len) — still several distinct grown shapes
+        # _aligned_cache_len) — still several distinct grown shapes.
+        # donate_cache=True: the low-transient regrowth path the 65k+
+        # on-chip runs use must stay token-exact too
         part, scores, cache = g.generate(
             input_ids=nxt, num_tokens=chunk, inference_params_dict=cache,
-            cache_growth_align=1, verbose=False)
+            cache_growth_align=1, donate_cache=True, verbose=False)
         part = np.asarray(part)[0]
         pieces.append(part)
         scores_last = np.asarray(scores)[0, -1]
