@@ -127,7 +127,13 @@ def _grow_cache(cache, needed_len: int, donate: bool = False):
                 pads[_t] = (0, pad)
                 out = jnp.pad(a, pads)
                 if donate and hasattr(a, 'delete'):
-                    out.block_until_ready()
+                    # REAL sync before freeing the source: on tunneled
+                    # backends block_until_ready returns early, and
+                    # deleting a buffer whose pad is still in flight
+                    # wedges the worker (observed 2026-08-21 at the
+                    # 65536-position regrowth) — a host readback is the
+                    # only trustworthy completion barrier here
+                    np.asarray(out.reshape(-1)[-1])
                     a.delete()
                 return out
 
