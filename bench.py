@@ -176,7 +176,7 @@ def bench_serving(cfg, slots: int = 48, n_requests: int = 144,
                   prompt_len: int = 128, n_tokens: int = 256,
                   steps_per_sync: int = 32, quant: str = 'none',
                   params=None, unique_prompts=None,
-                  prefill_batch: int = 0):
+                  prefill_batch: int = 0, iters: int = 2):
     """Continuous-batching server throughput (evo_tpu/serving.py):
     aggregate generated tokens/s over a stream of staggered requests with
     ragged output budgets sharing one `slots`-row decode cache. The
@@ -219,7 +219,7 @@ def bench_serving(cfg, slots: int = 48, n_requests: int = 144,
 
     run()                                   # compile + warmup
     times, toks = [], 0
-    for _ in range(2):
+    for _ in range(iters):
         t0 = time.perf_counter()
         toks = run()
         times.append(time.perf_counter() - t0)
@@ -1291,8 +1291,10 @@ def _run_section(section: str) -> None:
         # int8 weights free ~6.3 GB of HBM, doubling the slot budget past
         # the bf16 memory wall (BASELINE.md 2026-08-19: 1,713 tok/s at 96
         # slots = 27.2x the reference's sequential-B=1 serving ceiling)
+        # iters=1: warmup + ONE measured run — the row must fit the
+        # driver budget's isolated-row slot next to ldec_int8
         tps = bench_serving(cfg8, slots=96, n_requests=288, quant='int8',
-                            prefill_batch=8)
+                            prefill_batch=8, iters=1)
         row = {'value': round(tps, 2),
                'unit': 'generated tokens/s aggregate (int8, 96 slots)',
                'vs_baseline': round(tps / _decode_roofline(cfg8, 1), 4)}
@@ -1425,14 +1427,20 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
 
     stream = [prompt[0]]
     cache, nxt = None, jnp.asarray(prompt)
-    chunk_times, checks = [], []
+    chunk_times, pending = [], []
     regrowths, prev_klen = 0, None
     t_wall = time.perf_counter()
     for ci in range(n_chunks):
         t0 = time.perf_counter()
+        # final chunk: grow by the minimum alignment instead of a full
+        # growth_align step — the run needs only ~prompt_len more
+        # positions, and the smaller final shape (66560 for the 65k run)
+        # both verified clean in isolation while the full-step 73728
+        # growth crashed the worker 3/3 times at the end of the real run
+        ga = growth_align if ci < n_chunks - 1 else 1
         part, scores, cache = gen.generate(
             input_ids=nxt, num_tokens=chunk, inference_params_dict=cache,
-            cache_growth_align=growth_align, donate_cache=True,
+            cache_growth_align=ga, donate_cache=True,
             verbose=False)
         part_np = np.asarray(part)[0]              # sync (host readback)
         chunk_times.append(time.perf_counter() - t0)
@@ -1445,23 +1453,34 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
                 break
         stream.append(part_np)
         if ci in check_at:
-            scores_last = np.asarray(scores[0, -1], np.float32)
-            ids_all = np.concatenate(stream)[None]
-            fresh = _fresh_prefill_last_logits(model, ids_all[:, :-1])[0]
-            checks.append({
-                'at_generated_tokens': int((ci + 1) * chunk),
-                'max_abs_logit_diff': round(
-                    float(np.max(np.abs(scores_last - fresh))), 4),
-                'logit_scale': round(float(np.max(np.abs(fresh))), 2),
-                'argmax_agree': bool(int(scores_last.argmax())
-                                     == int(fresh.argmax())),
-            })
+            # record the (V,) decode logits row; the fresh-prefill oracle
+            # runs AFTER the loop when the generation cache is dropped —
+            # a 61k fresh prefill NEXT TO a 65k live cache + weights
+            # crashed the 16 GB worker twice (2026-08-21)
+            pending.append((ci, np.asarray(scores[0, -1], np.float32),
+                            sum(len(s) for s in stream)))
         nxt = jnp.asarray(part_np[-1:][None])
         print(f'  [longgen] chunk {ci + 1}/{n_chunks} '
               f'{chunk / chunk_times[-1]:.1f} tok/s '
               f'(KV len {prev_klen})', file=sys.stderr, flush=True)
     wall = time.perf_counter() - t_wall
     sustained = chunk / float(np.median(chunk_times))
+
+    del cache                                   # free KV before oracles
+    ids_all = np.concatenate(stream)[None]
+    checks = []
+    for ci, scores_last, upto in pending:
+        fresh = _fresh_prefill_last_logits(model, ids_all[:, :upto - 1])[0]
+        checks.append({
+            'at_generated_tokens': int((ci + 1) * chunk),
+            'max_abs_logit_diff': round(
+                float(np.max(np.abs(scores_last - fresh))), 4),
+            'logit_scale': round(float(np.max(np.abs(fresh))), 2),
+            'argmax_agree': bool(int(scores_last.argmax())
+                                 == int(fresh.argmax())),
+        })
+        print(f'  [longgen] spot-check {checks[-1]}', file=sys.stderr,
+              flush=True)
     info = {
         'total_tokens': n_chunks * chunk, 'chunk': chunk,
         'regrowths': regrowths,
@@ -1585,14 +1604,17 @@ def main():
                              'serving', 'serving_latency', 'speculative',
                              'spec_lora', 'spec_phage', 'longdecode',
                              'longgen'])
-    ap.add_argument('--budget-s', type=float, default=1100.0,
+    ap.add_argument('--budget-s', type=float, default=1250.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
-                         'warm reruns fit easily). r3 at 1380 s was killed '
-                         'by the driver (BENCH_r03 rc=124) and lost every '
-                         'number; kills are now harmless (cumulative '
-                         'flushed result lines + SIGTERM dump) but the '
-                         'budget still bounds the run')
+                         'warm reruns fit easily). The driver envelope is '
+                         '`timeout 1500`; 1250 leaves 250 s of teardown '
+                         'margin and reaches one more isolated row than '
+                         "r4's 1100 (the round-keyed rotation needs two "
+                         'per round). Kills are harmless either way '
+                         '(cumulative flushed lines + SIGTERM dump); r3 '
+                         'at 1380 was killed at 1500 with rc=124 before '
+                         'that hardening')
     ap.add_argument('--section', default=None,
                     choices=('p131', 'int4', 'full131k', 'ldec_bf16',
                              'ldec_int8', 'serv96', 'lgen16'),
