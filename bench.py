@@ -1227,7 +1227,7 @@ def _round_number() -> int:
 _CHILD: dict = {}
 
 
-def _run_isolated(section: str, timeout_s: float):
+def _run_isolated(section: str, timeout_s: float, env_extra=None):
     """Run one bench section in a fresh python process (clean backend
     allocator state) and return its parsed JSON row, or an error string.
     The child handle is tracked so the parent's SIGTERM handler can
@@ -1235,8 +1235,11 @@ def _run_isolated(section: str, timeout_s: float):
     import subprocess
 
     cmd = [sys.executable, __file__, '--section', section]
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
+                            stderr=subprocess.PIPE, text=True, env=env)
     _CHILD['proc'] = proc
     try:
         out, err = proc.communicate(timeout=max(60.0, timeout_s))
@@ -1287,6 +1290,22 @@ def _run_section(section: str) -> None:
         row = {'value': round(tps, 2),
                'unit': 'tokens/s sustained (greedy B=1 int8, 131k cfg)',
                **info}
+    elif section == 'lgen_leg':
+        # one leg of the resumable multi-process 65k+ generation
+        # (state handed through LGEN_STATE; see bench_longgen docstring)
+        sdir = os.environ['LGEN_STATE']
+        total = int(os.environ.get('LGEN_TOTAL', '65536'))
+        legs = int(os.environ.get('LGEN_CHUNKS', '5'))
+        tps, info = bench_longgen(
+            total_tokens=total, chunk=4096, quant='int8',
+            n_checkpoints=3, growth_align=16384, state_dir=sdir,
+            max_chunks_per_call=legs)
+        if tps is None:
+            row = {'progress': info}
+        else:
+            row = {'value': round(tps, 2),
+                   'unit': 'tokens/s sustained (greedy B=1 int8, '
+                           '131k cfg)', **info}
     elif section == 'serv96':
         # int8 weights free ~6.3 GB of HBM, doubling the slot budget past
         # the bf16 memory wall (BASELINE.md 2026-08-19: 1,713 tok/s at 96
@@ -1389,7 +1408,8 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
                   quant: str = 'int8', n_checkpoints: int = 1,
                   prompt_len: int = 128, growth_align: int = 8192,
                   model_name: str = 'evo-1-131k-base',
-                  cfg=None, params=None):
+                  cfg=None, params=None, state_dir=None,
+                  max_chunks_per_call=None):
     """Sustained long generation (VERDICT r4 #2; the reference demos
     >650k generated tokens, hello_evo.ipynb cell 0): greedy chunked
     decode at 7B through the resumable Generator cache, crossing a
@@ -1401,7 +1421,18 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
     Returns (sustained_tps, info): sustained = chunk/median(chunk time)
     — steady-state decode; wall_tps includes the per-regrowth XLA
     compiles (bounded at total/growth_align by generation.py's aligned
-    regrowth)."""
+    regrowth).
+
+    state_dir/max_chunks_per_call: resumable multi-process mode. The
+    full generation state (token stream, decode cache, timings, pending
+    spot-check rows) checkpoints to state_dir after at most
+    max_chunks_per_call chunks and the call returns (None,
+    {'resume_at': ...}); a fresh process re-initializes the SAME
+    weights (seeded) and continues from the cache. Needed because the
+    tunneled worker reliably dies ~15 min into one sustained process
+    (4/4 runs at chunk 14-16 of the single-process 65k attempt,
+    shape-independent) — and it doubles as the crash-recovery story:
+    a killed leg resumes from the last completed checkpoint."""
     from evo_tpu.generation import Generator
     from evo_tpu.models import EvoModel, config_for_model
     from evo_tpu.tokenizer import CharLevelTokenizer
@@ -1425,12 +1456,49 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
     check_at = (set(range(stride - 1, n_chunks, stride)) | {n_chunks - 1}
                 if n_checkpoints > 0 else set())
 
+    import pickle
+    from pathlib import Path
+
     stream = [prompt[0]]
     cache, nxt = None, jnp.asarray(prompt)
     chunk_times, pending = [], []
     regrowths, prev_klen = 0, None
+    start_ci, wall_accum = 0, 0.0
+    state_path = (Path(state_dir) / 'longgen_state.pkl'
+                  if state_dir else None)
+    if state_path is not None and state_path.exists():
+        with open(state_path, 'rb') as f:
+            st = pickle.load(f)
+        assert st['total_tokens'] == total_tokens and st['chunk'] == chunk
+        stream, chunk_times = st['stream'], st['chunk_times']
+        pending, regrowths = st['pending'], st['regrowths']
+        prev_klen, start_ci = st['prev_klen'], st['next_ci']
+        wall_accum = st['wall']
+        cache = jax.tree_util.tree_map(jnp.asarray, st['cache'])
+        nxt = jnp.asarray(stream[-1][-1:][None])
+        print(f'  [longgen] resumed at chunk {start_ci + 1}/{n_chunks} '
+              f'(KV len {prev_klen})', file=sys.stderr, flush=True)
+
+    def _save_state(next_ci, elapsed):
+        host_cache = jax.tree_util.tree_map(np.asarray, cache)
+        tmp = state_path.with_suffix('.tmp')
+        with open(tmp, 'wb') as f:
+            pickle.dump({'total_tokens': total_tokens, 'chunk': chunk,
+                         'stream': stream, 'chunk_times': chunk_times,
+                         'pending': pending, 'regrowths': regrowths,
+                         'prev_klen': prev_klen, 'next_ci': next_ci,
+                         'wall': wall_accum + elapsed,
+                         'cache': host_cache}, f)
+        import os as _os
+        _os.replace(tmp, state_path)
+
+    executed = 0
     t_wall = time.perf_counter()
-    for ci in range(n_chunks):
+    for ci in range(start_ci, n_chunks):
+        if (max_chunks_per_call is not None
+                and executed >= max_chunks_per_call):
+            _save_state(ci, time.perf_counter() - t_wall)
+            return None, {'resume_at': ci, 'total_chunks': n_chunks}
         t0 = time.perf_counter()
         # final chunk: grow by the minimum alignment instead of a full
         # growth_align step — the run needs only ~prompt_len more
@@ -1460,11 +1528,14 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
             pending.append((ci, np.asarray(scores[0, -1], np.float32),
                             sum(len(s) for s in stream)))
         nxt = jnp.asarray(part_np[-1:][None])
+        executed += 1
         print(f'  [longgen] chunk {ci + 1}/{n_chunks} '
               f'{chunk / chunk_times[-1]:.1f} tok/s '
               f'(KV len {prev_klen})', file=sys.stderr, flush=True)
-    wall = time.perf_counter() - t_wall
+    wall = wall_accum + (time.perf_counter() - t_wall)
     sustained = chunk / float(np.median(chunk_times))
+    if state_path is not None and state_path.exists():
+        state_path.unlink()
 
     del cache                                   # free KV before oracles
     ids_all = np.concatenate(stream)[None]
@@ -1617,7 +1688,8 @@ def main():
                          'that hardening')
     ap.add_argument('--section', default=None,
                     choices=('p131', 'int4', 'full131k', 'ldec_bf16',
-                             'ldec_int8', 'serv96', 'lgen16'),
+                             'ldec_int8', 'serv96', 'lgen16',
+                             'lgen_leg'),
                     help="internal: run ONE preset-'all' row in this "
                          'process (used for allocator isolation)')
     ap.add_argument('--verify', action='store_true',
@@ -1729,14 +1801,37 @@ def main():
                                       'long-generation workload)'}))
             return
         total = args.length or 65536
-        quant = args.quant if args.quant != 'none' else 'int8'
-        tps, info = bench_longgen(total_tokens=total, chunk=4096,
-                                  quant=quant, n_checkpoints=3)
-        print(json.dumps({'metric': f'long_generation_{total}',
-                          'value': round(tps, 2),
-                          'unit': 'tokens/s sustained (greedy B=1, '
-                                  '131k cfg)',
-                          **info}))
+        # multi-process legs: one sustained process reliably loses the
+        # tunneled worker ~15 min in (4/4 runs died at chunk 14-16 of a
+        # single-process 65k, independent of KV shape), so the run
+        # checkpoints its full state every LGEN_CHUNKS chunks and each
+        # leg is a fresh process; a crashed leg retries from the last
+        # checkpoint (the failure-recovery story, exercised for real)
+        import tempfile
+        sdir = tempfile.mkdtemp(prefix='lgen_state_')
+        env = {'LGEN_STATE': sdir, 'LGEN_TOTAL': str(total),
+               'LGEN_CHUNKS': os.environ.get('LGEN_CHUNKS', '4')}
+        n_legs_max = (total // 4096) + 8
+        final, errors = None, 0
+        for _leg in range(n_legs_max):
+            res = _run_isolated('lgen_leg', 1200, env_extra=env)
+            if isinstance(res, dict) and 'value' in res:
+                final = res
+                break
+            if isinstance(res, dict):
+                print(f"  [longgen] leg done: {res.get('progress')}",
+                      file=sys.stderr, flush=True)
+                errors = 0
+                continue
+            errors += 1
+            print(f'  [longgen] leg error ({errors}): {res}',
+                  file=sys.stderr, flush=True)
+            if errors >= 3:
+                break
+        row = {'metric': f'long_generation_{total}'}
+        row.update(final if final is not None
+                   else {'value': None, 'error': 'legs failed 3x'})
+        print(json.dumps(row))
         return
 
     if args.preset == 'longdecode':

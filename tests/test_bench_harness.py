@@ -123,3 +123,27 @@ def test_longgen_tiny_regrowth_and_consistency():
     assert all(c['argmax_agree'] for c in info['spot_checks']), info
     assert all(c['max_abs_logit_diff'] < 1e-2
                for c in info['spot_checks']), info
+
+
+def test_longgen_state_checkpoint_resume(tmp_path):
+    """Multi-process long-generation legs: a checkpointed run resumed in
+    a second call must finish with the SAME exactness guarantees (decode
+    logits == fresh prefill at every spot-check) as a single-state run —
+    the 65k+ on-chip runs hand the cache between processes this way."""
+    import jax
+
+    from evo_tpu import model as model_lib
+    from evo_tpu.config import tiny_config
+    cfg = tiny_config(max_sequence_len=2048)
+    params = model_lib.init_params(jax.random.PRNGKey(0), cfg)
+    kw = dict(total_tokens=256, chunk=64, n_checkpoints=2, prompt_len=16,
+              growth_align=1, cfg=cfg, params=params,
+              state_dir=str(tmp_path))
+    tps, info = bench.bench_longgen(max_chunks_per_call=2, **kw)
+    assert tps is None and info == {'resume_at': 2, 'total_chunks': 4}
+    assert (tmp_path / 'longgen_state.pkl').exists()
+    tps, info = bench.bench_longgen(max_chunks_per_call=10, **kw)
+    assert tps > 0 and info['regrowths'] >= 2
+    assert all(c['argmax_agree'] and c['max_abs_logit_diff'] < 1e-2
+               for c in info['spot_checks']), info
+    assert not (tmp_path / 'longgen_state.pkl').exists()  # cleaned up
