@@ -1451,7 +1451,22 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, 256, (1, prompt_len)).astype(np.int32)
-    n_chunks = max(1, total_tokens // chunk)
+    # chunk schedule: `chunk`-token scans while the KV buffer stays at or
+    # under 65536 positions, 1024-token scans beyond. A 4096-step decode
+    # scan at T > 65536 crashes this TPU worker DETERMINISTICALLY
+    # (isolated repro 2026-08-21: T=65536 x 4096 steps OK, T=66560 x
+    # 4096 worker-crash, the same T at 1024 steps fine 3/3; the int8-KV
+    # long-decode path runs 128-step scans and never sees it)
+    sizes = []
+    done = 0
+    while done < total_tokens:
+        fits_64k = prompt_len + done + chunk + 1 <= 65536
+        step = chunk if fits_64k else min(1024, chunk)
+        step = min(step, total_tokens - done)
+        sizes.append(step)
+        done += step
+    n_chunks = len(sizes)
+    cum = np.cumsum(sizes).tolist()
     stride = max(1, n_chunks // max(n_checkpoints, 1))
     check_at = (set(range(stride - 1, n_chunks, stride)) | {n_chunks - 1}
                 if n_checkpoints > 0 else set())
@@ -1466,6 +1481,7 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
     start_ci, wall_accum = 0, 0.0
     state_path = (Path(state_dir) / 'longgen_state.pkl'
                   if state_dir else None)
+    checks = []
     if state_path is not None and state_path.exists():
         with open(state_path, 'rb') as f:
             st = pickle.load(f)
@@ -1473,25 +1489,39 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
         stream, chunk_times = st['stream'], st['chunk_times']
         pending, regrowths = st['pending'], st['regrowths']
         prev_klen, start_ci = st['prev_klen'], st['next_ci']
-        wall_accum = st['wall']
-        cache = jax.tree_util.tree_map(jnp.asarray, st['cache'])
-        nxt = jnp.asarray(stream[-1][-1:][None])
+        wall_accum, checks = st['wall'], st.get('checks', [])
+        if st['cache'] is not None:
+            cache = jax.tree_util.tree_map(jnp.asarray, st['cache'])
+            nxt = jnp.asarray(stream[-1][-1:][None])
         print(f'  [longgen] resumed at chunk {start_ci + 1}/{n_chunks} '
-              f'(KV len {prev_klen})', file=sys.stderr, flush=True)
+              f'(KV len {prev_klen}, {len(pending)} oracle(s) pending)',
+              file=sys.stderr, flush=True)
 
-    def _save_state(next_ci, elapsed):
-        host_cache = jax.tree_util.tree_map(np.asarray, cache)
+    def _save_state(next_ci, elapsed, keep_cache=True):
+        host_cache = (jax.tree_util.tree_map(np.asarray, cache)
+                      if keep_cache else None)
         tmp = state_path.with_suffix('.tmp')
         with open(tmp, 'wb') as f:
             pickle.dump({'total_tokens': total_tokens, 'chunk': chunk,
                          'stream': stream, 'chunk_times': chunk_times,
                          'pending': pending, 'regrowths': regrowths,
                          'prev_klen': prev_klen, 'next_ci': next_ci,
-                         'wall': wall_accum + elapsed,
+                         'wall': wall_accum + elapsed, 'checks': checks,
                          'cache': host_cache}, f)
         import os as _os
         _os.replace(tmp, state_path)
 
+    from evo_tpu.generation import _grow_cache
+    from evo_tpu.scoring import _aligned_cache_len, _cache_align
+
+    # the full run's final cache length. Any growth whose aligned target
+    # lands within one growth_align of it jumps straight there instead —
+    # a LATE small growth (65536 -> 66560 at the second-to-last chunk)
+    # crashed the worker even in a fresh process, while the same target
+    # reached from a 49152 cache (smaller transient) is the scale every
+    # successful mid-run growth uses
+    final_len = _aligned_cache_len(prompt_len + int(cum[-1]),
+                                   _cache_align(cfg))
     executed = 0
     t_wall = time.perf_counter()
     for ci in range(start_ci, n_chunks):
@@ -1500,15 +1530,21 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
             _save_state(ci, time.perf_counter() - t_wall)
             return None, {'resume_at': ci, 'total_chunks': n_chunks}
         t0 = time.perf_counter()
-        # final chunk: grow by the minimum alignment instead of a full
-        # growth_align step — the run needs only ~prompt_len more
-        # positions, and the smaller final shape (66560 for the 65k run)
-        # both verified clean in isolation while the full-step 73728
-        # growth crashed the worker 3/3 times at the end of the real run
-        ga = growth_align if ci < n_chunks - 1 else 1
+        this_chunk = sizes[ci]
+        if cache is not None and prev_klen is not None:
+            needed = prompt_len + cum[ci] + 1
+            if needed > prev_klen:
+                # never allocate beyond the whole run's final length:
+                # the natural aligned target for the tail chunks would
+                # overshoot (81920 for the 65k run) for nothing
+                target = min(_aligned_cache_len(
+                    needed - 1, max(_cache_align(cfg), growth_align)),
+                    final_len)
+                cache = _grow_cache(cache, target, donate=True)
         part, scores, cache = gen.generate(
-            input_ids=nxt, num_tokens=chunk, inference_params_dict=cache,
-            cache_growth_align=ga, donate_cache=True,
+            input_ids=nxt, num_tokens=this_chunk,
+            inference_params_dict=cache,
+            cache_growth_align=growth_align, donate_cache=True,
             verbose=False)
         part_np = np.asarray(part)[0]              # sync (host readback)
         chunk_times.append(time.perf_counter() - t0)
@@ -1525,25 +1561,36 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
             # runs AFTER the loop when the generation cache is dropped —
             # a 61k fresh prefill NEXT TO a 65k live cache + weights
             # crashed the 16 GB worker twice (2026-08-21)
-            pending.append((ci, np.asarray(scores[0, -1], np.float32),
+            pending.append((cum[ci], np.asarray(scores[0, -1],
+                                                np.float32),
                             sum(len(s) for s in stream)))
         nxt = jnp.asarray(part_np[-1:][None])
         executed += 1
         print(f'  [longgen] chunk {ci + 1}/{n_chunks} '
-              f'{chunk / chunk_times[-1]:.1f} tok/s '
+              f'{this_chunk / chunk_times[-1]:.1f} tok/s '
               f'(KV len {prev_klen})', file=sys.stderr, flush=True)
-    wall = wall_accum + (time.perf_counter() - t_wall)
-    sustained = chunk / float(np.median(chunk_times))
-    if state_path is not None and state_path.exists():
-        state_path.unlink()
+    wall = wall_accum + ((time.perf_counter() - t_wall) if executed
+                         else 0.0)
+    wall_accum = wall
+    rates = [s / t for s, t in zip(sizes, chunk_times)]
+    sustained = float(np.median(rates))
 
-    del cache                                   # free KV before oracles
+    if cache is not None:
+        del cache                               # free KV before oracles
+        cache = None
+    if executed and state_path is not None and pending:
+        # generation finished this leg; each ORACLE (a fresh up-to-65k
+        # segmented prefill) gets its own process too — chunks + all
+        # oracles in one process exceeded the worker's ~15-min envelope
+        _save_state(n_chunks, 0.0, keep_cache=False)
+        return None, {'resume_at': n_chunks,
+                      'oracles_left': len(pending)}
     ids_all = np.concatenate(stream)[None]
-    checks = []
-    for ci, scores_last, upto in pending:
+    while pending:
+        gen_upto, scores_last, upto = pending.pop(0)
         fresh = _fresh_prefill_last_logits(model, ids_all[:, :upto - 1])[0]
         checks.append({
-            'at_generated_tokens': int((ci + 1) * chunk),
+            'at_generated_tokens': int(gen_upto),
             'max_abs_logit_diff': round(
                 float(np.max(np.abs(scores_last - fresh))), 4),
             'logit_scale': round(float(np.max(np.abs(fresh))), 2),
@@ -1552,11 +1599,20 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
         })
         print(f'  [longgen] spot-check {checks[-1]}', file=sys.stderr,
               flush=True)
+        if state_path is not None and pending:
+            _save_state(n_chunks, 0.0, keep_cache=False)
+            return None, {'resume_at': n_chunks,
+                          'oracles_left': len(pending)}
+    if state_path is not None and state_path.exists():
+        state_path.unlink()
     info = {
-        'total_tokens': n_chunks * chunk, 'chunk': chunk,
+        'total_tokens': int(cum[-1]), 'chunk': chunk,
+        'chunk_schedule': f'{sizes.count(chunk)}x{chunk}'
+                          + (f'+{len(sizes) - sizes.count(chunk)}x1024'
+                             if len(sizes) != sizes.count(chunk) else ''),
         'regrowths': regrowths,
         'quant': 'caller-provided' if provided else quant,
-        'wall_tps': round(n_chunks * chunk / wall, 2),
+        'wall_tps': round(cum[-1] / wall, 2),
         'spot_checks': checks,
     }
     return sustained, info
