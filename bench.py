@@ -1174,14 +1174,28 @@ def _run_all(args) -> None:
         ('ldec_int8', 'decode_at_context_122880_int8w_int8kv',
          300, 900),
         ('serv96', 'serving_int8_96slots', 240, 800),
-        ('lgen16', 'long_generation_16k', 240, 800),
+        ('lgen16', 'long_generation_16k', 200, 800),
     ]
-    order = ([3, 4, 5, 0, 1, 2] if _round_number() % 2 == 1
+    # last standalone measurements (BASELINE.md) so a budget-skip marker
+    # still carries the number the row stands for
+    last_measured = {
+        'score_full_context_L131072_single_chip_int8':
+            '9,654 tok/s/chip (2026-08-20)',
+        'prefill_131k_config_L16384': '9,927 tok/s (2026-08-21)',
+        'decode_int4_memory_fit_b1': '62.3 tok/s (2026-08-20)',
+        'decode_at_context_122880_int8w_int8kv':
+            '40.4 tok/s (2026-08-21)',
+        'serving_int8_96slots': '1,797 tok/s aggregate (2026-08-21)',
+        'long_generation_16k': '60.8 tok/s sustained, 2 regrowths, '
+                               'spot-check argmax-agree (2026-08-21); '
+                               '65k run: 68.1 tok/s (BASELINE.md)',
+    }
+    order = ([3, 4, 5, 1, 0, 2] if _round_number() % 2 == 1
              else [0, 1, 2, 3, 4, 5])
     for sect, key, floor_s, cap_s in (iso_rows[i] for i in order):
         if left() < floor_s:
-            extras[key] = ('skipped (budget; see BASELINE.md for the '
-                           'last measured value)')
+            extras[key] = ('skipped (budget); last standalone: '
+                           + last_measured.get(key, 'see BASELINE.md'))
             emit()
             continue
         # cap comes out of the REMAINING budget (r3 used left()+30 which
@@ -1285,8 +1299,11 @@ def _run_section(section: str) -> None:
         row = {'value': round(tps, 1), 'unit': 'tokens/s/chip',
                'vs_baseline': round(tps / tgt131, 4)}
     elif section == 'lgen16':
+        # driver-budget variant: no oracle prefill (consistency is
+        # pinned by tests and the 65k BASELINE run's 4 spot-checks) so
+        # the row fits the rotation's leftover slot
         tps, info = bench_longgen(total_tokens=16384, chunk=4096,
-                                  quant='int8', n_checkpoints=1)
+                                  quant='int8', n_checkpoints=0)
         row = {'value': round(tps, 2),
                'unit': 'tokens/s sustained (greedy B=1 int8, 131k cfg)',
                **info}
@@ -1731,17 +1748,16 @@ def main():
                              'serving', 'serving_latency', 'speculative',
                              'spec_lora', 'spec_phage', 'longdecode',
                              'longgen'])
-    ap.add_argument('--budget-s', type=float, default=1250.0,
+    ap.add_argument('--budget-s', type=float, default=1330.0,
                     help="wall-clock budget for preset 'all': sections "
                          'are skipped once exceeded (compile caching makes '
                          'warm reruns fit easily). The driver envelope is '
-                         '`timeout 1500`; 1250 leaves 250 s of teardown '
-                         'margin and reaches one more isolated row than '
-                         "r4's 1100 (the round-keyed rotation needs two "
-                         'per round). Kills are harmless either way '
-                         '(cumulative flushed lines + SIGTERM dump); r3 '
-                         'at 1380 was killed at 1500 with rc=124 before '
-                         'that hardening')
+                         '`timeout 1500`; 1330 reaches the third rotated '
+                         'isolated row in a typical run while leaving '
+                         '~150 s of margin (last-row caps come out of the '
+                         'REMAINING budget, so overruns are bounded). '
+                         'Kills are harmless either way (cumulative '
+                         'flushed lines + SIGTERM dump)')
     ap.add_argument('--section', default=None,
                     choices=('p131', 'int4', 'full131k', 'ldec_bf16',
                              'ldec_int8', 'serv96', 'lgen16',
