@@ -1473,7 +1473,10 @@ def bench_longgen(total_tokens: int = 16384, chunk: int = 4096,
     # scan at T > 65536 crashes this TPU worker DETERMINISTICALLY
     # (isolated repro 2026-08-21: T=65536 x 4096 steps OK, T=66560 x
     # 4096 worker-crash, the same T at 1024 steps fine 3/3; the int8-KV
-    # long-decode path runs 128-step scans and never sees it)
+    # long-decode path runs 128-step scans and never sees it). The
+    # fault is in the BACKEND, not this framework's kernels: the same
+    # config crashes identically with use_pallas='never' (pure jnp
+    # attention, isolated repro same day)
     sizes = []
     done = 0
     while done < total_tokens:
