@@ -95,6 +95,16 @@ def _generate_program(params, prompt_ids, forced_ids, cache, rng, *,
     return generation, scores, cache
 
 
+def _cache_kv_len(cache):
+    """Current attention KV-buffer time length, or None if the cache has
+    no attention layers (time axis 1 for the bf16 (B, T, H, Dh) layout,
+    2 for the head-major quantized (B, H, T, Dh) one)."""
+    for layer in cache['layers']:
+        if isinstance(layer, dict) and 'k' in layer:
+            return layer['k'].shape[2 if 'ks' in layer else 1]
+    return None
+
+
 def _grow_cache(cache, needed_len: int, donate: bool = False):
     """Extend KV time buffers so a resumed generation fits.
 
@@ -108,13 +118,7 @@ def _grow_cache(cache, needed_len: int, donate: bool = False):
     is what crashed the 73728-position growth on a 16 GB chip);
     donate=False keeps the reference contract (the caller's
     inference_params_dict stays valid, evo/generation.py:105-114)."""
-    current = None
-    for layer in cache['layers']:
-        if isinstance(layer, dict) and 'k' in layer:
-            # time axis: 1 for the bf16 (B, T, H, Dh) cache, 2 for the
-            # head-major quantized (B, H, T, Dh) one
-            current = layer['k'].shape[2 if 'ks' in layer else 1]
-            break
+    current = _cache_kv_len(cache)
     pad = 0 if (current is None or current >= needed_len) \
         else needed_len - current
     new_layers = []
@@ -257,12 +261,22 @@ class Generator:
             # one fresh XLA compile per chunk over a >650k-token run; the
             # aligned target bounds compiled shapes at total_len/align
             # while wasting at most align-1 KV positions (~400 MB at 7B
-            # bf16 for the 8192 default)
-            cache = _grow_cache(
-                cache, _aligned_cache_len(
+            # bf16 for the 8192 default). A cache whose buffers ALREADY
+            # fit `needed` is honored as-is (target = its own length):
+            # callers that pre-size the cache — the reference contract's
+            # pre-allocation, or bench_longgen's final-length clamp —
+            # must not be padded out to the aligned target (the 65k run's
+            # 66560 clamp exists because the worker cannot take the 81920
+            # regrowth transient; _grow_cache still runs for the
+            # donate=False deep-copy contract below).
+            current = _cache_kv_len(cache)
+            if current is not None and current >= needed:
+                target = current
+            else:
+                target = _aligned_cache_len(
                     needed - 1, max(_cache_align(cfg),
-                                    int(cache_growth_align))),
-                donate=donate_cache)
+                                    int(cache_growth_align)))
+            cache = _grow_cache(cache, target, donate=donate_cache)
         else:
             # _aligned_cache_len: 1024-aligned KV buffers make the Pallas
             # buffer-flash kernel eligible for the segmented prefill below

@@ -187,6 +187,46 @@ def test_long_chunked_generation_crosses_regrowth_boundaries(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_resume_honors_presized_cache(setup):
+    """A resumed generate() whose cache ALREADY fits the requested tokens
+    must not regrow it to the aligned target (regression: the aligned
+    regrowth overrode callers' pre-sized buffers — bench_longgen clamps
+    the final growth to the run's total length precisely because the
+    worker cannot take the overshoot transient at 65k+; the lgen16
+    validation run's KV ended at 24576 where the clamp said 18432)."""
+    from evo_tpu.generation import _cache_kv_len, _grow_cache
+    model, tokenizer = setup
+    g = Generator(model, tokenizer, top_k=1, temperature=0.0)
+    ids = tokenizer.tokenize('ACGTACGT')[None]
+
+    full, _, _ = g.generate(input_ids=ids, num_tokens=180, verbose=False)
+    full = np.asarray(full)[0]
+
+    part1, _, cache = g.generate(input_ids=ids, num_tokens=120,
+                                 verbose=False)
+    part1 = np.asarray(part1)[0]
+    # pre-size beyond what the next chunk needs, to a length OFF the
+    # 128-position alignment grid (the bench clamp lands off-grid too)
+    cache = _grow_cache(cache, 200, donate=True)
+    assert _cache_kv_len(cache) == 200
+    part2, _, cache = g.generate(input_ids=part1[-1:][None], num_tokens=60,
+                                 inference_params_dict=cache,
+                                 cache_growth_align=128, donate_cache=True,
+                                 verbose=False)
+    part2 = np.asarray(part2)[0]
+    # needed = 127+1+60 = 188 <= 200: the pre-sized buffer is kept
+    # (the old code padded it to the 256 aligned target)
+    assert _cache_kv_len(cache) == 200
+    np.testing.assert_array_equal(np.concatenate([part1, part2]), full)
+
+    # and a cache that does NOT fit still grows through the aligned path
+    part3, _, cache = g.generate(input_ids=part2[-1:][None], num_tokens=60,
+                                 inference_params_dict=cache,
+                                 cache_growth_align=128, donate_cache=True,
+                                 verbose=False)
+    assert _cache_kv_len(cache) == 256     # aligned(needed-1=247) = 256
+
+
 def test_top_p_zero_keeps_top_token():
     """top_p <= 0 must degenerate to keeping only the most likely token
     (never uniform sampling over the masked-out vocab)."""
