@@ -582,6 +582,13 @@ def bench_spec_phage(cfg, gammas=(4, 8, 16), steps: int = 120,
     pred = np.asarray(jnp.argmax(logits[0, :-1], -1))
     acc_tf = float((pred == np.asarray(probe[0, 1:])).mean())
 
+    # NB measurement asymmetry (deliberately conservative): the plain
+    # baseline uses a 128-token prompt while the spec legs' timed region
+    # includes their longer 768/1024-token prompt prefills, so the
+    # reported speedup_vs_plain is UNDERstated by a few percent and the
+    # prefix-vs-hybrid comparison carries their prompt-length delta;
+    # acceptance/tokens_per_device_call (the numbers the ledger leans
+    # on) are unaffected
     plain_tps = bench_generate(cfg, 1, prompt_len=128,
                                n_tokens=num_tokens, params=merged)
 
@@ -1906,6 +1913,15 @@ def main():
         row = {'metric': f'long_generation_{total}'}
         row.update(final if final is not None
                    else {'value': None, 'error': 'legs failed 3x'})
+        if final is not None:
+            # success: drop the state dir (the final leg already unlinked
+            # the pickle; a FAILED run keeps it so the operator can
+            # resume by re-running with LGEN_STATE pointed at it)
+            import shutil
+            shutil.rmtree(sdir, ignore_errors=True)
+        else:
+            print(f'  [longgen] state kept for resume: {sdir}',
+                  file=sys.stderr, flush=True)
         print(json.dumps(row))
         return
 

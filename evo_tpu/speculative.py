@@ -49,8 +49,11 @@ class NGramIndex:
     acceptance 0.04 (chance-level) with teacher-forced accuracy 0.995;
     the n=12..4 longest-match index on the same weights accepts the
     periodic continuation. O(n - n_min) amortized update per token,
-    O(n - n_min) proposal; host memory bounded by the sliding `window`
-    (see __init__) instead of growing with the emitted stream.
+    O(n - n_min) proposal. The n-gram DICTS are bounded by the sliding
+    `window` (see __init__); the raw token list still grows with the
+    emitted stream (one int per token — the index stores absolute match
+    positions into it, so it cannot be truncated without remapping
+    them): ~tens of MB, not GBs, at megabase scale.
     """
 
     def __init__(self, n: int = 12, n_min: Optional[int] = None,
